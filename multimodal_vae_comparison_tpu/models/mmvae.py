@@ -1,0 +1,413 @@
+"""The multimodal VAE zoo: MOE (MMVAE), POE (MVAE), MoPOE, DMVAE.
+
+TPU-first re-implementations of the four mixing strategies in the reference
+(multimodal_compare/models/mmvae_models.py, 530 LoC).  Faithful math, static
+structure:
+
+* POE's per-step subset subsampling (reference utils.py:86-112 +
+  mmvae_models.py:159-187) unrolls over the *static* subset lattice — one
+  fused XLA program instead of 2^M-1 dynamic dict rewrites per step;
+* MoPoE's powerset fusion (mmvae_models.py:279-345) is fixed at build time;
+  its batch-stratified mixture selection uses static split sizes
+  (ops/fusion.py);
+* MOE's cross-reconstruction matrix (mmvae_models.py:112-116) is trace-time
+  wiring; DReG's gradient hook becomes objectives.scale_grad (custom_vjp);
+* the PoE fusion itself is ops.fusion.product_of_experts, with the prior
+  expert folded in analytically instead of concatenated
+  (mmvae_models.py:235-250).
+
+Deliberate fixes of reference quirks (documented in SURVEY.md §7):
+* MOE's ELBO appends the own-reconstruction term once (the reference
+  duplicates it once per cross pair, mmvae_models.py:52-62);
+* product_of_experts returns a well-formed (mu, scale).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_vae_comparison_tpu.models import objectives
+from multimodal_vae_comparison_tpu.models.base import MMVAE
+from multimodal_vae_comparison_tpu.models.distributions import (
+    Normal, kl_divergence, log_mean_exp)
+from multimodal_vae_comparison_tpu.models.output import ModalityOutput, VAEOutput
+from multimodal_vae_comparison_tpu.ops.fusion import (
+    mixture_component_selection, poe_precision_fusion, product_of_experts,
+    subset_lattice)
+
+
+def _mask_of(batch, name):
+    return batch[name].get("masks")
+
+
+class MOE(MMVAE):
+    """Mixture-of-experts MMVAE (https://github.com/iffsid/mmvae;
+    reference mmvae_models.py:10-131).
+
+    Each present modality's posterior is sampled independently; every sample
+    is decoded by every decoder (full cross-reconstruction matrix); missing
+    modalities are imputed from the first present modality's samples.
+    """
+
+    def forward(self, batch, present: Tuple[str, ...]) -> VAEOutput:
+        qz_params = self.encode(batch, present)
+        filled = [n for n in self.mod_names if n in present]
+        mods: Dict[str, ModalityOutput] = {}
+        zs, qzs = {}, {}
+        for spec in self.specs:
+            name = spec.name
+            if name in present:
+                key = self.make_rng("sample")
+                qz, z = self.sample_posterior(spec, qz_params[name]["shared"], key)
+                qzs[name], zs[name] = qz, z
+            else:
+                qzs[name] = None
+        for spec in self.specs:
+            name = spec.name
+            src = name if name in present else filled[0]
+            z = zs[src]
+            dec = self.decode_mod(name, z, _mask_of(batch, name))
+            cross = {}
+            for other in self.mod_names:
+                if other != name and other in present:
+                    cross[other] = self.decode_mod(name, zs[other],
+                                                   _mask_of(batch, name))
+            mods[name] = ModalityOutput(encoder_dist=qzs[name],
+                                        decoder_dist=dec,
+                                        cross_decoder_dist=cross,
+                                        latents=z)
+        return VAEOutput(mods=mods)
+
+    def objective(self, batch):
+        present = self.mod_names
+        out = self.forward(batch, present)
+        if self.obj == "elbo":
+            return self._objective_elbo(batch, out)
+        return self._objective_kweighted(batch, out)
+
+    def _objective_elbo(self, batch, out: VAEOutput):
+        """MoE ELBO with importance-weighted cross terms
+        (reference mmvae_models.py:41-78)."""
+        lpx_terms, klds, rec_per_mod = [], [], {}
+        for spec in self.specs:
+            mo = out.mods[spec.name]
+            qz = mo.encoder_dist
+            kld = kl_divergence(qz, self.prior_for(spec)).sum(-1)
+            klds.append(kld)
+            lpx_own = self.recon_lpx(spec, mo.decoder_dist, batch)
+            rec_per_mod[spec.name] = -jnp.sum(lpx_own)
+            lpx_terms.append(lpx_own)
+            for other, cross_dist in mo.cross_decoder_dist.items():
+                z_o = jax.lax.stop_gradient(out.mods[other].latents)
+                lq_self = jnp.nan_to_num(qz.log_prob(z_o), nan=0.0).sum(-1)
+                lq_other = jax.lax.stop_gradient(
+                    out.mods[other].encoder_dist.log_prob(z_o).sum(-1))
+                lwt = jnp.exp(lq_self - lq_other)          # (K, B)
+                lpx_cross = self.recon_lpx(spec, cross_dist, batch)
+                lpx_terms.append(lwt * lpx_cross)
+        lpx = jnp.stack([t.reshape(-1) for t in lpx_terms])
+        kld = jnp.stack(klds)
+        loss = objectives.elbo(lpx, kld, self.beta) / len(self.specs)
+        metrics = {"kld": jnp.sum(kld), **{f"reconstruction_loss_{k}": v
+                                           for k, v in rec_per_mod.items()}}
+        return loss, metrics
+
+    def _objective_kweighted(self, batch, out: VAEOutput):
+        """IWAE / DReG K-sample bounds, looser multimodal variant
+        (reference objectives.py:342-387)."""
+        dreg = self.obj == "dreg"
+        pz = self.pz()
+        rec_per_mod = {}
+
+        def log_weights(zs_dict):
+            lws = []
+            for spec in self.specs:
+                z_r = zs_dict[spec.name]                      # (K, B, D)
+                lpz = pz.log_prob(z_r).sum(-1)
+                q_terms = []
+                for other in self.mod_names:
+                    q = out.mods[other].encoder_dist
+                    if dreg:
+                        q = jax.tree_util.tree_map(jax.lax.stop_gradient, q)
+                    q_terms.append(q.log_prob(z_r).sum(-1))
+                lqz = log_mean_exp(jnp.stack(q_terms), axis=0)
+                lpx = self.recon_lpx(spec, out.mods[spec.name].decoder_dist, batch)
+                rec_per_mod[spec.name] = -jnp.sum(lpx)
+                # likelihood of *all* modalities under z_r: own + crosses
+                lpx_all = lpx
+                for tgt in self.mod_names:
+                    if tgt != spec.name:
+                        cross = out.mods[tgt].cross_decoder_dist.get(spec.name)
+                        if cross is not None:
+                            lpx_all = lpx_all + self.recon_lpx(self.spec(tgt), cross, batch)
+                lws.append(lpz + lpx_all - self.beta * lqz)
+            return jnp.stack(lws)                             # (M, K, B)
+
+        zs = {name: out.mods[name].latents for name in self.mod_names}
+        lw = log_weights(zs)
+        if not dreg:
+            loss = -jnp.sum(log_mean_exp(lw.reshape(-1, lw.shape[-1]), axis=0))
+        else:
+            w = jax.lax.stop_gradient(jax.nn.softmax(lw, axis=1))  # over K
+            zs_scaled = {name: objectives.scale_grad(
+                zs[name], w[i][..., None]) for i, name in enumerate(self.mod_names)}
+            lw2 = log_weights(zs_scaled)
+            loss = -jnp.sum(jnp.mean(jnp.sum(w * lw2, axis=1), axis=0))
+        metrics = {"kld": jnp.zeros(()), **{f"reconstruction_loss_{k}": v
+                                            for k, v in rec_per_mod.items()}}
+        return loss, metrics
+
+
+class POE(MMVAE):
+    """Product-of-experts MVAE (https://github.com/mhw32/multimodal-vae-public;
+    reference mmvae_models.py:134-250).
+
+    Joint posterior = PoE(prior expert, present experts); the training
+    objective sums one ELBO per modality subset (sub-sampled training,
+    reference mmvae_models.py:159-187) — here the subset loop unrolls at
+    trace time over the static lattice.
+    """
+
+    def _check_priors(self):
+        for spec in self.specs:
+            assert spec.prior in ("normal", "gaussian"), \
+                "POE only works with gaussian priors! Adjust the config"
+
+    def mix(self, qz_params, present: Tuple[str, ...]):
+        """PoE fusion of the present experts + analytic prior expert
+        (reference modality_mixing, mmvae_models.py:210-232)."""
+        mus = jnp.stack([qz_params[n]["shared"][0] for n in present])
+        scales = jnp.stack([qz_params[n]["shared"][1] for n in present])
+        mu, scale = product_of_experts(mus, scales, include_prior=True)
+        return mu, scale
+
+    def forward(self, batch, present: Tuple[str, ...]) -> VAEOutput:
+        self._check_priors()
+        qz_params = self.encode(batch, present)
+        mu, scale = self.mix(qz_params, present)
+        joint = Normal(mu, scale)
+        z = joint.rsample(self.make_rng("sample"), (self.K,))
+        mods = {}
+        for spec in self.specs:
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            enc = (Normal(*qz_params[spec.name]["shared"])
+                   if spec.name in present else None)
+            mods[spec.name] = ModalityOutput(encoder_dist=enc, joint_dist=joint,
+                                             decoder_dist=dec, latents=z)
+        return VAEOutput(mods=mods)
+
+    def objective(self, batch):
+        self._check_priors()
+        lattice = subset_lattice(len(self.specs))
+        pz = self.pz()
+        total = jnp.zeros(())
+        total_kld = jnp.zeros(())
+        rec_per_mod = {s.name: jnp.zeros(()) for s in self.specs}
+        for subset in lattice:
+            present = tuple(self.specs[i].name for i in subset)
+            out = self.forward(batch, present)
+            any_mod = out.mods[self.mod_names[0]]
+            kld = kl_divergence(any_mod.joint_dist, pz).sum(-1)
+            lpx_sum = jnp.zeros(())
+            for spec in self.specs:
+                lpx = self.recon_lpx(spec, out.mods[spec.name].decoder_dist, batch)
+                lpx_sum = lpx_sum + jnp.sum(lpx)
+                if len(present) == 1 and present[0] == spec.name:
+                    rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
+            total = total + (-(lpx_sum - self.beta * jnp.sum(kld)))
+            total_kld = total_kld + jnp.mean(jnp.sum(kld))
+        metrics = {"kld": total_kld / len(lattice),
+                   **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}
+        return total, metrics
+
+
+class MoPOE(MMVAE):
+    """Mixture-of-products-of-experts, generalized multimodal ELBO
+    (https://arxiv.org/abs/2105.02470; reference mmvae_models.py:253-410)."""
+
+    def subsets(self) -> Tuple[Tuple[int, ...], ...]:
+        return tuple(subset_lattice(len(self.specs)))
+
+    def mix(self, qz_params, present: Tuple[str, ...]):
+        """PoE within each fully-present subset, stratified MoE across subsets
+        (reference modality_mixing, mmvae_models.py:322-349)."""
+        subset_dists = {}
+        mus, scales = [], []
+        for subset in self.subsets():
+            names = [self.specs[i].name for i in subset]
+            if not all(n in present for n in names):
+                continue
+            sub_mu = jnp.stack([qz_params[n]["shared"][0] for n in names])
+            sub_scale = jnp.stack([qz_params[n]["shared"][1] for n in names])
+            # prior expert joins only the full set (reference poe_fusion,
+            # mmvae_models.py:385-394)
+            include_prior = len(subset) == len(self.specs)
+            mu, scale = product_of_experts(sub_mu, sub_scale,
+                                           include_prior=include_prior)
+            key = "_".join(sorted(names))
+            subset_dists[key] = Normal(mu, scale)
+            mus.append(mu)
+            scales.append(scale)
+        joint_mu, joint_scale = mixture_component_selection(
+            jnp.stack(mus), jnp.stack(scales))
+        return Normal(joint_mu, joint_scale), subset_dists
+
+    def forward(self, batch, present: Tuple[str, ...]) -> VAEOutput:
+        qz_params = self.encode(batch, present)
+        joint, subset_dists = self.mix(qz_params, present)
+        z = joint.rsample(self.make_rng("sample"), (self.K,))
+        mods = {}
+        for spec in self.specs:
+            enc = (Normal(*qz_params[spec.name]["shared"])
+                   if spec.name in present else None)
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            mods[spec.name] = ModalityOutput(encoder_dist=enc, joint_dist=joint,
+                                             decoder_dist=dec, latents=z)
+        return VAEOutput(mods=mods)
+
+    def objective(self, batch):
+        present = self.mod_names
+        qz_params = self.encode(batch, present)
+        joint, subset_dists = self.mix(qz_params, present)
+        z = joint.rsample(self.make_rng("sample"), (self.K,))
+        pz = self.pz()
+        # weighted group KLD over all subset posteriors + joint
+        # (reference objectives.py:184-201)
+        dists = list(subset_dists.values()) + [joint]
+        w = 1.0 / len(dists)
+        group_div = jnp.zeros(())
+        for d in dists:
+            group_div = group_div + w * jnp.mean(kl_divergence(d, pz).sum(-1))
+        # reference reduces lpx with a batch mean (mmvae_models.py:315)
+        lpx_total = jnp.zeros(())
+        rec_per_mod = {}
+        for spec in self.specs:
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            lpx = self.recon_lpx(spec, dec, batch)
+            lpx_total = lpx_total + jnp.mean(jnp.sum(lpx, axis=0))
+            rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
+        loss = -(lpx_total - self.beta * group_div)
+        metrics = {"kld": group_div,
+                   **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}
+        return loss, metrics
+
+
+class DMVAE(MMVAE):
+    """Private+shared disentangled multimodal VAE
+    (https://github.com/seqam-lab/DMVAE; reference mmvae_models.py:413-530)."""
+
+    def _check_factorized(self):
+        assert self.latent_factorization, \
+            "DMVAE requires private_latents in the config"
+
+    def forward(self, batch, present: Tuple[str, ...]) -> VAEOutput:
+        self._check_factorized()
+        qz_params = self.encode(batch, present)
+        filled = [n for n in present]
+        mus = jnp.stack([qz_params[n]["shared"][0] for n in filled])
+        scales = jnp.stack([qz_params[n]["shared"][1] for n in filled])
+        joint_mu, joint_scale = product_of_experts(mus, scales,
+                                                   include_prior=False)
+        joint = Normal(joint_mu, joint_scale)
+        z_joint = joint.rsample(self.make_rng("sample"), (self.K,))
+        mods = {}
+        for spec in self.specs:
+            name = spec.name
+            mask = _mask_of(batch, name)
+            if name in present:
+                qz = Normal(*qz_params[name]["shared"])
+                qz_priv = Normal(*qz_params[name]["private"])
+                z_shared = qz.rsample(self.make_rng("sample"), (self.K,))
+                z_priv = qz_priv.rsample(self.make_rng("sample"), (self.K,))
+            else:
+                qz, qz_priv = None, None
+                z_shared = z_joint
+                B = z_joint.shape[1]
+                prior_priv = Normal(jnp.zeros((B, spec.private_latents)),
+                                    jnp.ones((B, spec.private_latents)))
+                z_priv = prior_priv.rsample(self.make_rng("sample"), (self.K,))
+            dec = self.decode_mod(name, jnp.concatenate([z_shared, z_priv], -1), mask)
+            dec_joint = self.decode_mod(name, jnp.concatenate([z_joint, z_priv], -1), mask)
+            cross = {}
+            for other in present:
+                if other == name:
+                    continue
+                q_o = Normal(*qz_params[other]["shared"])
+                z_o = q_o.rsample(self.make_rng("sample"), (self.K,))
+                cross[other] = self.decode_mod(
+                    name, jnp.concatenate([z_o, z_priv], -1), mask)
+            mods[name] = ModalityOutput(encoder_dist=qz, enc_dist_private=qz_priv,
+                                        joint_dist=joint, decoder_dist=dec,
+                                        joint_decoder_dist=dec_joint,
+                                        cross_decoder_dist=cross,
+                                        latents=z_shared)
+        return VAEOutput(mods=mods)
+
+    def objective(self, batch):
+        """Triple ELBO per modality: own + joint + cross-with-private-KL
+        (reference mmvae_models.py:436-465)."""
+        self._check_factorized()
+        out = self.forward(batch, self.mod_names)
+        pz = self.pz()
+        total = jnp.zeros(())
+        total_kld = jnp.zeros(())
+        rec_per_mod = {}
+        for spec in self.specs:
+            mo = out.mods[spec.name]
+            lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
+            kld = kl_divergence(mo.encoder_dist, pz).sum(-1)
+            lpx_joint = self.recon_lpx(spec, mo.joint_decoder_dist, batch)
+            kld_joint = kl_divergence(mo.joint_dist, pz).sum(-1)
+            prior_priv = Normal(jnp.zeros((1, spec.private_latents)),
+                                jnp.ones((1, spec.private_latents)))
+            lpx_cross = jnp.zeros(())
+            kld_priv = jnp.zeros(())
+            for other, cross in mo.cross_decoder_dist.items():
+                lpx_cross = lpx_cross + jnp.sum(self.recon_lpx(spec, cross, batch))
+                kld_priv = kld_priv + jnp.sum(
+                    kl_divergence(mo.enc_dist_private, prior_priv).sum(-1))
+            loss_m = (objectives.elbo(lpx, kld, self.beta)
+                      + objectives.elbo(lpx_joint, kld_joint, self.beta)
+                      + (-(lpx_cross - self.beta * kld_priv)))
+            total = total + loss_m
+            total_kld = total_kld + jnp.sum(kld)
+            rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
+        metrics = {"kld": total_kld / len(self.specs),
+                   **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}
+        return total, metrics
+
+
+class UnimodalVAE(MMVAE):
+    """Single-modality VAE used when the config has one modality block
+    (reference trainer.py:112-113 falls back to the plain VAE)."""
+
+    def forward(self, batch, present: Optional[Tuple[str, ...]] = None) -> VAEOutput:
+        spec = self.specs[0]
+        qz_params = self.encode(batch, (spec.name,))
+        qz, z = self.sample_posterior(spec, qz_params[spec.name]["shared"],
+                                      self.make_rng("sample"))
+        dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+        return VAEOutput(mods={spec.name: ModalityOutput(
+            encoder_dist=qz, decoder_dist=dec, latents=z)})
+
+    def objective(self, batch):
+        spec = self.specs[0]
+        out = self.forward(batch)
+        mo = out.mods[spec.name]
+        lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
+        if self.obj in ("elbo", "elbo_gumbel"):
+            kld = kl_divergence(mo.encoder_dist, self.prior_for(spec)).sum(-1)
+            loss = objectives.elbo(lpx, kld, self.beta)
+            kld_m = jnp.sum(kld)
+        else:
+            pz = self.pz()
+            lqz = mo.encoder_dist.log_prob(mo.latents).sum(-1)
+            lpz = pz.log_prob(mo.latents).sum(-1)
+            lw = lpz + lpx - lqz
+            loss = objectives.dreg(lw) if self.obj == "dreg" else objectives.iwae(lw)
+            kld_m = jnp.zeros(())
+        metrics = {"kld": kld_m,
+                   f"reconstruction_loss_{spec.name}": -jnp.sum(lpx)}
+        return loss, metrics

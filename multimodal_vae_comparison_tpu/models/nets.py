@@ -1,0 +1,448 @@
+"""Shared network building blocks (flax.linen, TPU-first).
+
+Re-designed equivalents of the reference's ``nn_modules.py`` (1156 LoC of
+torch blocks): positional encodings, masked transformer encoder/decoder
+stacks, residual up/down conv blocks, 3D same-pad convs + axial attention
+(VideoGPT family), ResNet-50 and ViT trunks, and a VGG19-topology feature
+extractor for the perceptual loss.
+
+TPU-first choices:
+
+* NHWC layout everywhere (XLA's native conv layout on TPU);
+* attention uses one fused einsum path with additive masks — no DeepSpeed
+  sparse CUDA kernels (reference nn_modules.py:646-649); the strided-sparse
+  pattern from VideoGPT is expressed as a *static* additive mask which XLA
+  folds into the attention kernel (sequence lengths here are tiny);
+* matmuls run in bfloat16 on TPU when ``dtype`` is set, params stay fp32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_vae_comparison_tpu.constants import ETA
+
+Dtype = Any
+
+
+def group_norm(x, dtype=jnp.float32, groups: int = 8):
+    """GroupNorm in place of the reference's BatchNorm.
+
+    Deliberate TPU-first deviation: BatchNorm carries mutable running stats
+    (awkward under jit) and needs cross-replica reduction when the batch is
+    sharded over the mesh; GroupNorm is stateless, batch-size independent and
+    identical per replica.
+    """
+    g = math.gcd(groups, x.shape[-1])
+    return nn.GroupNorm(num_groups=g, dtype=dtype)(x)
+
+
+class GroupNormMod(nn.Module):
+    """Module wrapper so `norm()` factories inside blocks can instantiate it."""
+
+    dtype: Dtype = jnp.float32
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        g = math.gcd(self.groups, x.shape[-1])
+        return nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
+
+
+def positional_encoding(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal positional encoding table of shape (length, dim)."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    i = jnp.arange(0, dim, 2, dtype=jnp.float32)[None, :]
+    angle = pos / jnp.power(10000.0, i / dim)
+    pe = jnp.zeros((length, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angle))
+    pe = pe.at[:, 1::2].set(jnp.cos(angle)[:, : dim // 2])
+    return pe.astype(dtype)
+
+
+class MLP(nn.Module):
+    features: Sequence[int]
+    activation: Callable = nn.relu
+    activate_final: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            if i < len(self.features) - 1 or self.activate_final:
+                x = self.activation(x)
+        return x
+
+
+def dot_product_attention(q, k, v, mask_bias=None, dtype=jnp.float32):
+    """Fused attention: (B, H, Tq, Dh) x (B, H, Tk, Dh) -> (B, H, Tq, Dh).
+
+    ``mask_bias`` is an additive bias broadcastable to (B, H, Tq, Tk)
+    (0 for visible, large negative for masked).
+    """
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask_bias is not None:
+        logits = logits + mask_bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def key_padding_bias(key_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """(B, Tk) boolean mask (True = valid) -> additive bias (B, 1, 1, Tk)."""
+    if key_mask is None:
+        return None
+    return jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
+
+
+class MultiHeadAttention(nn.Module):
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, mask_bias=None):
+        d_model = q_in.shape[-1]
+        assert d_model % self.num_heads == 0
+        dh = d_model // self.num_heads
+        dense = lambda name: nn.DenseGeneral((self.num_heads, dh), dtype=self.dtype, name=name)
+        q = dense("query")(q_in).transpose(0, 2, 1, 3)
+        k = dense("key")(kv_in).transpose(0, 2, 1, 3)
+        v = dense("value")(kv_in).transpose(0, 2, 1, 3)
+        out = dot_product_attention(q, k, v, mask_bias, dtype=self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(q_in.shape[:-1] + (d_model,))
+        return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (matches torch's default layout)."""
+
+    num_heads: int
+    ff_size: int
+    activation: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True):
+        bias = key_padding_bias(key_mask)
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype)(x, x, bias)
+        x = nn.LayerNorm(dtype=self.dtype)(x + h)
+        h = nn.Dense(self.ff_size, dtype=self.dtype)(x)
+        h = self.activation(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=self.dtype)(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    ff_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True):
+        for _ in range(self.num_layers):
+            x = TransformerEncoderLayer(self.num_heads, self.ff_size,
+                                        dtype=self.dtype)(x, key_mask, deterministic)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Decoder layer: self-attention over queries + cross-attention to memory."""
+
+    num_heads: int
+    ff_size: int
+    activation: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, tgt_key_mask=None, mem_key_mask=None):
+        bias_t = key_padding_bias(tgt_key_mask)
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype)(tgt, tgt, bias_t)
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + h)
+        bias_m = key_padding_bias(mem_key_mask)
+        h = MultiHeadAttention(self.num_heads, dtype=self.dtype)(tgt, memory, bias_m)
+        tgt = nn.LayerNorm(dtype=self.dtype)(tgt + h)
+        h = nn.Dense(self.ff_size, dtype=self.dtype)(tgt)
+        h = self.activation(h)
+        h = nn.Dense(tgt.shape[-1], dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=self.dtype)(tgt + h)
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    ff_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, tgt_key_mask=None, mem_key_mask=None):
+        for _ in range(self.num_layers):
+            tgt = TransformerDecoderLayer(self.num_heads, self.ff_size,
+                                          dtype=self.dtype)(tgt, memory,
+                                                            tgt_key_mask, mem_key_mask)
+        return tgt
+
+
+# ---------------------------------------------------------------------------
+# Conv blocks
+# ---------------------------------------------------------------------------
+
+class ResDown(nn.Module):
+    """Residual down-sampling block (reference nn_modules.py:14-38)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skip = nn.Conv(self.channels, (3, 3), strides=2, padding=1, dtype=self.dtype)(x)
+        h = nn.Conv(self.channels // 2, (3, 3), strides=2, padding=1, dtype=self.dtype)(x)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.elu(h)
+        h = nn.Conv(self.channels, (3, 3), strides=1, padding=1, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        return nn.elu(h + skip)
+
+
+class ResUp(nn.Module):
+    """Residual up-sampling block (reference nn_modules.py:40-62)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h_, w_, c = x.shape
+        x_up = jax.image.resize(x, (b, h_ * 2, w_ * 2, c), method="nearest")
+        skip = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype)(x_up)
+        h = nn.Conv(self.channels // 2, (3, 3), padding=1, dtype=self.dtype)(x_up)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.elu(h)
+        h = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        return nn.elu(h + skip)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """2x up-sampling transposed conv matching torch's
+    ConvTranspose2d(k=4, stride=2, padding=1) output geometry."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # flax 'SAME' on (k=4, s=2) reproduces torch's (k=4, s=2, p=1)
+        # exact-2x upsampling geometry
+        return nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                                padding="SAME", dtype=self.dtype)(x)
+
+
+# ---------------------------------------------------------------------------
+# VideoGPT-style 3D blocks
+# ---------------------------------------------------------------------------
+
+class SamePadConv3d(nn.Module):
+    features: int
+    kernel: int = 4
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (self.kernel,) * 3, strides=self.strides,
+                       padding="SAME", dtype=self.dtype)(x)
+
+
+class SamePadConvTranspose3d(nn.Module):
+    features: int
+    kernel: int = 4
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(self.features, (self.kernel,) * 3,
+                                strides=self.strides, padding="SAME",
+                                dtype=self.dtype)(x)
+
+
+class AxialAttention(nn.Module):
+    """Axial self-attention over a (B, T, H, W, C) video feature volume.
+
+    Replaces the VideoGPT AxialBlock + DeepSpeed SparseAttention pair
+    (reference nn_modules.py:517-882): attention runs along one axis at a
+    time, which is both exact for axial and maps onto batched small matmuls
+    that XLA tiles onto the MXU.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        out = 0.0
+        for axis, name in ((1, "t"), (2, "h"), (3, "w")):
+            perm = [0, 1, 2, 3]
+            perm.remove(axis)
+            perm = perm + [axis]
+            xp = jnp.transpose(x, perm + [4])           # (..., L, C)
+            flat = xp.reshape(-1, xp.shape[-2], xp.shape[-1])
+            att = MultiHeadAttention(self.num_heads, dtype=self.dtype,
+                                     name=f"axial_{name}")(flat, flat)
+            att = att.reshape(xp.shape)
+            inv = [perm.index(i) for i in range(4)]
+            out = out + jnp.transpose(att, inv + [4])
+        return out
+
+
+class AttentionResidualBlock(nn.Module):
+    """VideoGPT attention-residual block (reference nn_modules.py:517-560)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = group_norm(x, dtype=self.dtype)
+        h = nn.relu(h)
+        h = SamePadConv3d(self.channels // 2, kernel=3, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        h = SamePadConv3d(self.channels, kernel=1, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        h = AxialAttention(num_heads=2, dtype=self.dtype)(h)
+        return x + h
+
+
+def strided_sparsity_bias(seq_len: int, block: int, stride: int) -> jnp.ndarray:
+    """Static additive attention bias reproducing VideoGPT's strided sparse
+    pattern (local block + strided columns).  Built once at trace time; XLA
+    folds it into the attention einsum.  Reference: StridedSparsityConfig
+    (nn_modules.py:624-882) backed by DeepSpeed CUDA kernels."""
+    q = jnp.arange(seq_len)[:, None]
+    k = jnp.arange(seq_len)[None, :]
+    same_block = (q // block) == (k // block)
+    strided = ((q - k) % stride) == 0
+    visible = jnp.logical_and(k <= q, jnp.logical_or(same_block, strided))
+    return jnp.where(visible, 0.0, -1e9)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 trunk (Enc_CNN's backbone; reference encoders.py:108-113)
+# ---------------------------------------------------------------------------
+
+class BottleneckBlock(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: GroupNormMod(dtype=self.dtype)
+        residual = x
+        h = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False)(x)
+        h = nn.relu(norm()(h))
+        h = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
+                    dtype=self.dtype, use_bias=False)(h)
+        h = nn.relu(norm()(h))
+        h = nn.Conv(self.features * 4, (1, 1), dtype=self.dtype, use_bias=False)(h)
+        h = norm()(h)
+        if residual.shape != h.shape:
+            residual = nn.Conv(self.features * 4, (1, 1), strides=self.strides,
+                               dtype=self.dtype, use_bias=False)(x)
+            residual = norm()(residual)
+        return nn.relu(h + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 topology; used as the Enc_CNN trunk.
+
+    The reference loads ImageNet-pretrained torchvision weights
+    (encoders.py:108-113).  Offline we initialize randomly; ``load_weights``
+    hooks in eval/weights.py can install converted weights when available.
+    """
+
+    num_outputs: int = 1000
+    dtype: Dtype = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    use_bias=False)(x)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n_blocks in enumerate(self.stage_sizes):
+            for j in range(n_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                h = BottleneckBlock(64 * 2 ** i, strides=strides,
+                                    dtype=self.dtype)(h, train)
+        h = jnp.mean(h, axis=(1, 2))
+        return nn.Dense(self.num_outputs, dtype=self.dtype)(h)
+
+
+class ViT(nn.Module):
+    """Compact ViT trunk (Enc_VIT's backbone, reference encoders.py:130-161).
+
+    torchvision's vit_b_16(image_size=64) = patch 16 over 64x64 -> 16 tokens;
+    we keep the geometry but use a narrower default width suited to the tiny
+    inputs (the reference's 86M-param ViT on 64x64 is wildly overparameterized
+    for this benchmark; width is configurable to match if needed)."""
+
+    patch: int = 16
+    width: int = 256
+    depth: int = 6
+    heads: int = 8
+    num_outputs: int = 1000
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        h = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=self.patch, dtype=self.dtype)(x)
+        h = h.reshape(b, -1, self.width)
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, self.width))
+        h = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(h.dtype), h], axis=1)
+        pe = self.param("pos_embed", nn.initializers.normal(0.02),
+                        (1, h.shape[1], self.width))
+        h = h + pe.astype(h.dtype)
+        h = TransformerEncoder(self.depth, self.heads, self.width * 4,
+                               dtype=self.dtype)(h)
+        return nn.Dense(self.num_outputs, dtype=self.dtype)(h[:, 0])
+
+
+class VGGFeatures(nn.Module):
+    """VGG19-topology feature extractor for the perceptual 'feature_loss'.
+
+    Reference uses torchvision's pretrained VGG19 (nn_modules.py:1066,
+    objectives.py:461-483).  Offline, random fixed features still provide a
+    useful multi-scale perceptual signal; pretrained weights can be installed
+    via eval/weights.py.
+    """
+
+    dtype: Dtype = jnp.float32
+    cfg: Sequence[Any] = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M")
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        h = x
+        for v in self.cfg:
+            if v == "M":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                feats.append(h)
+            else:
+                h = nn.relu(nn.Conv(v, (3, 3), padding=1, dtype=self.dtype)(h))
+        return feats

@@ -1,0 +1,104 @@
+"""Tests for the reconstruction-loss table and ELBO/IWAE/DReG estimators."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_vae_comparison_tpu.models import objectives
+from multimodal_vae_comparison_tpu.models.distributions import Normal
+from multimodal_vae_comparison_tpu.models.objectives import (
+    bce, category_ce, dreg, elbo, iwae, lprob, mse, optimal_sigma,
+    recon_log_prob, scale_grad)
+
+
+def _dist(mean):
+    return Normal(jnp.asarray(mean), jnp.full((), 0.75))
+
+
+def test_bce_matches_manual():
+    p = np.array([[0.8, 0.2]], dtype=np.float32)
+    t = np.array([[1.0, 0.0]], dtype=np.float32)
+    got = bce(_dist(p), jnp.array(t))
+    want = np.log(0.8) + np.log(0.8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_lprob_is_gaussian_log_prob():
+    mean = np.zeros((2, 3), dtype=np.float32)
+    target = np.ones((2, 3), dtype=np.float32)
+    got = lprob(_dist(mean), jnp.array(target))
+    import scipy.stats
+    want = scipy.stats.norm.logpdf(target, 0.0, 0.75).sum(-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_mse_and_masking():
+    mean = jnp.zeros((2, 4, 3))
+    target = jnp.ones((2, 4, 3))
+    mask = jnp.array([[True, True, False, False], [True, False, False, False]])
+    got = mse(_dist(mean), target, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), [-6.0, -3.0], rtol=1e-5)
+
+
+def test_category_ce_perfect_prediction_beats_wrong():
+    target = jnp.array([[[0.0, 1.0]]])
+    good = category_ce(_dist(jnp.array([[[0.0, 10.0]]])), target)
+    bad = category_ce(_dist(jnp.array([[[10.0, 0.0]]])), target)
+    assert float(good.sum()) > float(bad.sum())
+
+
+def test_optimal_sigma_grad_flows_to_mean():
+    target = jnp.ones((2, 3))
+
+    def loss(mean):
+        return -optimal_sigma(_dist(mean), target).sum()
+
+    g = jax.grad(loss)(jnp.zeros((2, 3)))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)
+
+
+def test_recon_dispatch_unknown():
+    try:
+        recon_log_prob("nope", _dist(jnp.zeros((1,))), jnp.zeros((1,)))
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_elbo_hand_computed():
+    lpx = jnp.array([[-1.0, -2.0]])
+    kld = jnp.array([0.5, 0.5])
+    np.testing.assert_allclose(float(elbo(lpx, kld, beta=2.0)), 3.0 + 2.0,
+                               rtol=1e-6)
+
+
+def test_iwae_reduces_to_elbo_at_k1():
+    lw = jnp.array([[-1.0, -2.0]])  # K=1
+    np.testing.assert_allclose(float(iwae(lw)), 3.0, rtol=1e-6)
+
+
+def test_iwae_bound_tighter_with_k():
+    rng = np.random.default_rng(0)
+    lw = jnp.array(rng.normal(size=(8, 16)).astype(np.float32))
+    l1 = -float(iwae(lw[:1]))
+    l8 = -float(iwae(lw))
+    # IWAE bound is monotone in expectation; with fixed samples logmeanexp
+    # over more samples >= a single sample's mean only on average, so just
+    # check finiteness + shape behaviour here.
+    assert np.isfinite(l1) and np.isfinite(l8)
+
+
+def test_scale_grad_identity_forward_scaled_backward():
+    x = jnp.array([1.0, 2.0])
+    w = jnp.array([0.5, 2.0])
+    y = scale_grad(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+    g = jax.grad(lambda x: scale_grad(x, w).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+def test_dreg_weights_sum_to_one_over_k():
+    lw = jnp.array(np.random.default_rng(1).normal(size=(4, 6)).astype(np.float32))
+    w = objectives.dreg_grad_weights(lw)
+    np.testing.assert_allclose(np.asarray(w.sum(0)), 1.0, rtol=1e-5)
+    assert np.isfinite(float(dreg(lw)))
