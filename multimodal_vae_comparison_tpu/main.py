@@ -1,0 +1,74 @@
+"""CLI entry point: ``python main.py --cfg <config>.yml [overrides]``.
+
+Same public API as the reference (multimodal_compare/main.py:16-67): a YAML
+config selected with --cfg, CLI flags overriding matching config keys, and an
+``iterseeds`` loop training N models with consecutive seeds.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # flag set mirrors reference main.py:16-39
+    parser = argparse.ArgumentParser(description="TPU multimodal VAE training")
+    parser.add_argument("--cfg", type=str, required=True,
+                        help="path to the YAML config")
+    parser.add_argument("--precision", type=str, default=None,
+                        choices=["64", "32", "16", "bf16"],
+                        help="numeric precision (bf16 recommended on TPU)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--n_latents", type=int, default=None)
+    parser.add_argument("--obj", type=str, default=None)
+    parser.add_argument("--mixing", type=str, default=None)
+    parser.add_argument("--beta", type=float, default=None)
+    parser.add_argument("--K", type=int, default=None)
+    parser.add_argument("--viz_freq", type=int, default=None)
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--optimizer", type=str, default=None)
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--no_viz", action="store_true")
+    return parser
+
+
+def main(config, enable_viz: bool = True):
+    """Train one model from a parsed Config (reference main.py:41-54)."""
+    from multimodal_vae_comparison_tpu.training.trainer import Trainer
+
+    trainer = Trainer(config, enable_viz=enable_viz)
+    trainer.init_state()
+    print(f"Model: {type(trainer.model).__name__}, "
+          f"params: {trainer.n_params():,}, "
+          f"devices: {len(trainer.mesh.devices.flat)}")
+    trainer.fit()
+    stats = trainer.test()
+    if stats:
+        print("test:", {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in stats.items()})
+    return trainer
+
+
+def cli(argv=None):
+    from multimodal_vae_comparison_tpu.config import Config
+
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    overrides = {k: v for k, v in vars(args).items()
+                 if k not in ("cfg", "no_viz")}
+    config = Config(args.cfg, overrides=overrides)
+    # multi-seed iteration (reference main.py:56-67)
+    for it in range(int(getattr(config, "iterseeds", 1))):
+        print(f"### Training model {it + 1}/{config.iterseeds} "
+              f"(seed {config.seed})")
+        main(config, enable_viz=not args.no_viz)
+        if it + 1 < config.iterseeds:
+            config = Config(args.cfg, overrides=overrides)
+            config.change_seed(config.seed + it + 1)
+
+
+if __name__ == "__main__":
+    cli(sys.argv[1:])

@@ -1,0 +1,7 @@
+from multimodal_vae_comparison_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+)
