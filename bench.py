@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput of the flagship bimodal MVAE.
+
+Workload = BASELINE.json config #2: MVAE (product-of-experts) image+text on
+CdSprites+ L2 shapes (64x64x3 images, 45-char one-hot captions), batch 24,
+ELBO objective over all modality subsets — the reference's training-cost
+envelope (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <samples/s/chip>, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against an equivalent PyTorch implementation of the
+same model/objective running on this host's CPU (the only PyTorch execution
+target available here — the reference hardcodes .cuda() and its GPU is
+unspecified).  The torch model mirrors our architecture 1:1 so the ratio is
+an apples-to-apples hardware+framework comparison at identical FLOPs.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", 24))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
+TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 8))
+SEQ = 45
+LATENTS = 16
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import __graft_entry__ as ge
+    from multimodal_vae_comparison_tpu.training.trainer import (
+        TrainState, make_train_step)
+
+    model = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
+    # bf16 compute path on TPU (params stay fp32)
+    model = type(model)(specs=model.specs, n_latents=model.n_latents,
+                        obj=model.obj, beta=model.beta, K=model.K,
+                        dtype=jnp.bfloat16)
+    batch = ge._batch(BATCH, seq_len=SEQ)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng}, batch,
+                        method=model.objective)
+    tx = optax.amsgrad(1e-4)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx)
+    # warmup / compile
+    state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    return BATCH * STEPS / dt / n_chips
+
+
+def bench_torch() -> float:
+    """Equivalent model in PyTorch on host CPU (reference's framework)."""
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(0)
+
+    class ImgEnc(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = tnn.Sequential(
+                tnn.Conv2d(3, 32, 4, 2, 1), tnn.SiLU(),
+                tnn.Conv2d(32, 32, 4, 2, 1), tnn.SiLU(),
+                tnn.Conv2d(32, 32, 4, 2, 1), tnn.SiLU(),
+                tnn.Conv2d(32, 32, 4, 2, 1), tnn.SiLU())
+            self.lin = tnn.Linear(32 * 16, 512)
+            self.mu = tnn.Linear(512, LATENTS)
+            self.lv = tnn.Linear(512, LATENTS)
+
+        def forward(self, x):
+            h = self.convs(x).flatten(1)
+            h = self.lin(h)
+            return self.mu(h), torch.softmax(self.lv(h), -1) + 1e-6
+
+    class ImgDec(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = tnn.Sequential(
+                tnn.Linear(LATENTS, 512), tnn.ReLU(),
+                tnn.Linear(512, 512), tnn.ReLU(),
+                tnn.Linear(512, 32 * 16), tnn.ReLU())
+            self.deconvs = tnn.Sequential(
+                tnn.ConvTranspose2d(32, 32, 4, 2, 1), tnn.ReLU(),
+                tnn.ConvTranspose2d(32, 32, 4, 2, 1), tnn.ReLU(),
+                tnn.ConvTranspose2d(32, 32, 4, 2, 1), tnn.ReLU(),
+                tnn.ConvTranspose2d(32, 3, 4, 2, 1))
+
+        def forward(self, z):
+            h = self.lin(z).view(-1, 32, 4, 4)
+            return torch.sigmoid(self.deconvs(h)).clamp(1e-6, 1 - 1e-6)
+
+    class TxtEnc(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = tnn.Linear(27, 64)
+            layer = tnn.TransformerEncoderLayer(64, 2, 128,
+                                                batch_first=True)
+            self.tr = tnn.TransformerEncoder(layer, 1)
+            self.mu = tnn.Linear(64, LATENTS)
+            self.lv = tnn.Linear(64, LATENTS)
+
+        def forward(self, x):
+            h = self.tr(self.embed(x)).mean(1)
+            return self.mu(h), torch.softmax(self.lv(h), -1) + 1e-6
+
+    class TxtDec(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            layer = tnn.TransformerDecoderLayer(LATENTS, 2, 128,
+                                                batch_first=True)
+            self.tr = tnn.TransformerDecoder(layer, 1)
+            self.final = tnn.Linear(LATENTS, 27)
+            self.q = tnn.Parameter(torch.zeros(SEQ, LATENTS),
+                                   requires_grad=False)
+
+        def forward(self, z):
+            tgt = self.q.unsqueeze(0).expand(z.shape[0], -1, -1)
+            return self.final(self.tr(tgt, z.unsqueeze(1)))
+
+    enc1, dec1, enc2, dec2 = ImgEnc(), ImgDec(), TxtEnc(), TxtDec()
+    params = (list(enc1.parameters()) + list(dec1.parameters())
+              + list(enc2.parameters()) + list(dec2.parameters()))
+    opt = torch.optim.Adam(params, lr=1e-4, amsgrad=True)
+    img = torch.rand(BATCH, 3, 64, 64)
+    txt = torch.nn.functional.one_hot(
+        torch.randint(0, 27, (BATCH, SEQ)), 27).float()
+
+    def poe(mus, svs):
+        precision = 1.0 / (torch.stack(svs) ** 2 + 1e-8)
+        denom = precision.sum(0) + 1.0
+        return (torch.stack(mus) * precision).sum(0) / denom, (1.0 / denom).sqrt()
+
+    def step():
+        opt.zero_grad()
+        m1, s1 = enc1(img)
+        m2, s2 = enc2(txt)
+        total = 0.0
+        for experts in ([(m1, s1)], [(m2, s2)], [(m1, s1), (m2, s2)]):
+            mu, sc = poe([e[0] for e in experts], [e[1] for e in experts])
+            z = mu + sc * torch.randn_like(sc)
+            rec_i = dec1(z)
+            lp_i = (img * rec_i.log() + (1 - img) * (1 - rec_i).log()).sum()
+            logits = dec2(z)
+            lp_t = (txt * torch.log_softmax(logits, -1)).sum()
+            kld = 0.5 * (sc ** 2 + mu ** 2 - 1 - (sc ** 2).log()).sum()
+            total = total + (-(lp_i + lp_t - kld))
+        total.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return BATCH * TORCH_STEPS / dt
+
+
+def main():
+    sps = bench_jax()
+    try:
+        torch_sps = bench_torch()
+    except Exception:
+        torch_sps = None
+    out = {
+        "metric": ("train samples/sec/chip, bimodal MVAE (PoE, CdSprites+ L2 "
+                   "shapes, bs=%d, bf16) vs equivalent PyTorch on host CPU"
+                   % BATCH),
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / torch_sps, 2) if torch_sps else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Attribute classifiers used by the automatic benchmarks.
+
+Flax re-design of the reference classifier module
+(multimodal_compare/eval/train_classifiers.py): a conv image classifier per
+attribute (shape/size/color/position/background for CdSprites+, digits for
+MNIST-SVHN) and a video classifier for SPRITES.  The reference ships
+pretrained ``.pth`` files; offline we *train* classifiers on the dataset
+itself via ``train_classifier`` and cache the params beside the data — the
+eval scripts auto-train on first use.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+class CNNClassifier(nn.Module):
+    """4-conv image classifier (reference train_classifiers.py:59-123)."""
+
+    num_classes: int
+    hid_channels: int = 32
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for _ in range(4):
+            h = nn.relu(nn.Conv(self.hid_channels, (4, 4), strides=2,
+                                padding=1)(h))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        return nn.Dense(self.num_classes)(h)
+
+
+class VideoClassifier(nn.Module):
+    """3D-conv video classifier (reference train_classifiers.py:12-57 uses a
+    VideoGPT encoder; a conv3d stack gives the same judge role)."""
+
+    num_classes: int
+    hidden: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for feats in (self.hidden, self.hidden * 2, self.hidden * 2):
+            h = nn.relu(nn.Conv(feats, (3, 3, 3), strides=(1, 2, 2),
+                                padding="SAME")(h))
+        h = h.mean(axis=(1, 2, 3))
+        h = nn.relu(nn.Dense(self.hidden * 4)(h))
+        return nn.Dense(self.num_classes)(h)
+
+
+def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
+                     epochs: int = 12, batch_size: int = 64, lr: float = 1e-3,
+                     seed: int = 0, log_fn=None) -> Dict:
+    """Train a classifier to convergence on (images, int labels)."""
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(rng, jnp.zeros((1,) + images.shape[1:]))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n = len(images)
+    order_rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        order = order_rng.permutation(n)
+        losses = []
+        for b in range(max(n // batch_size, 1)):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            params, opt_state, loss = step(params, opt_state,
+                                           jnp.asarray(images[idx]),
+                                           jnp.asarray(labels[idx]))
+            losses.append(float(loss))
+        if log_fn:
+            log_fn(f"classifier epoch {epoch}: loss={np.mean(losses):.4f}")
+    return params
+
+
+def classifier_accuracy(model, params, images, labels,
+                        batch_size: int = 256) -> float:
+    correct = 0
+    for b in range(0, len(images), batch_size):
+        logits = model.apply(params, jnp.asarray(images[b:b + batch_size]))
+        correct += int((np.argmax(np.asarray(logits), -1)
+                        == labels[b:b + batch_size]).sum())
+    return correct / len(images)
+
+
+def predict(model, params, images, batch_size: int = 256) -> np.ndarray:
+    preds = []
+    for b in range(0, len(images), batch_size):
+        logits = model.apply(params, jnp.asarray(images[b:b + batch_size]))
+        preds.append(np.argmax(np.asarray(logits), -1))
+    return np.concatenate(preds)
+
+
+def save_classifier(params, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+
+
+def load_classifier(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def get_or_train_classifier(cache_path: str, model: nn.Module,
+                            data_fn: Callable[[], Tuple[np.ndarray, np.ndarray]],
+                            **train_kwargs):
+    """Load a cached classifier or train+cache one (offline replacement for
+    the reference's downloaded ./eval/classifiers/*.pth)."""
+    if os.path.exists(cache_path):
+        return load_classifier(cache_path)
+    images, labels = data_fn()
+    params = train_classifier(model, images, labels, **train_kwargs)
+    save_classifier(params, cache_path)
+    return params

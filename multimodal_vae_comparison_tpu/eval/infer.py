@@ -1,0 +1,112 @@
+"""Inference wrapper: reload a trained model from its results directory.
+
+Analog of ``MultimodalVAEInfer`` (multimodal_compare/eval/infer.py:8-71):
+given a run dir (or its checkpoint path), re-parse the dumped ``config.yml``,
+rebuild the DataModule and model, restore Orbax params, and expose
+cross-/joint-generation APIs for the eval scripts.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_vae_comparison_tpu.config import Config
+from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+from multimodal_vae_comparison_tpu.training.trainer import build_model
+
+
+class MultimodalVAEInfer:
+    def __init__(self, path: str):
+        """:param path: results dir (results/<exp>/version_N) or a path
+        inside it (e.g. .../model/last)."""
+        run_dir = path
+        for _ in range(3):
+            if os.path.exists(os.path.join(run_dir, "config.yml")):
+                break
+            run_dir = os.path.dirname(run_dir)
+        assert os.path.exists(os.path.join(run_dir, "config.yml")), \
+            f"no config.yml found above {path}"
+        self.run_dir = run_dir
+        self.config = Config(os.path.join(run_dir, "config.yml"),
+                             eval_only=True)
+        self.config.mPath = run_dir
+        self.datamod = DataModule(self.config)
+        self.datamod.setup()
+        self.model = build_model(self.config)
+        self.params = self._restore()
+        self.level = getattr(self, "level", 1)
+
+    def _restore(self):
+        import orbax.checkpoint as ocp
+        batch = next(self.datamod.batches("val", batch_size=2,
+                                          drop_remainder=False))
+        rng = jax.random.PRNGKey(0)
+        abstract = self.model.init({"params": rng, "sample": rng}, batch,
+                                   method=self.model.objective)
+        ckpt = os.path.join(self.run_dir, "model", "last")
+        assert os.path.isdir(ckpt), f"no checkpoint at {ckpt}"
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": jax.device_get(abstract),
+                  "step": np.zeros((), np.int32)}
+        return ckptr.restore(os.path.abspath(ckpt), target)["params"]
+
+    # -- generation APIs ----------------------------------------------------------
+
+    @property
+    def mod_names(self):
+        return self.model.mod_names
+
+    def _full_batch(self, inputs: Dict[str, Dict]) -> Dict:
+        batch = {}
+        for name in self.mod_names:
+            batch[name] = inputs.get(name, {"data": None, "masks": None})
+            batch[name].setdefault("masks", None)
+        return batch
+
+    def forward(self, inputs: Dict[str, Dict], present: Tuple[str, ...]):
+        batch = self._full_batch(inputs)
+        return self.model.apply(
+            self.params, batch, rngs={"sample": jax.random.PRNGKey(0)},
+            method=lambda m, b: m.forward(b, present))
+
+    def cross_generate(self, source_mod: str, data, masks=None) -> Dict[str, np.ndarray]:
+        """Generate every modality from one source modality's data."""
+        out = self.forward({source_mod: {"data": jnp.asarray(data),
+                                         "masks": None if masks is None
+                                         else jnp.asarray(masks)}},
+                           present=(source_mod,))
+        recons = {}
+        for name in self.mod_names:
+            dist = out.mods[name].decoder_dist
+            if dist is not None:
+                recons[name] = np.asarray(dist.mean[0])
+        return recons
+
+    def joint_generate(self, num_samples: int, seed: int = 0) -> Dict[str, np.ndarray]:
+        """Decode prior samples with every decoder (joint generation)."""
+        z = jax.random.normal(jax.random.PRNGKey(seed),
+                              (1, num_samples, self.model.n_latents))
+        recons = {}
+        for name in self.mod_names:
+            dist = self.model.apply(
+                self.params, name, z,
+                method=lambda m, nm, zz: m.decode_mod(nm, zz))
+            recons[name] = np.asarray(dist.mean[0])
+        return recons
+
+    def get_test_samples(self, n: int, split: str = "val"):
+        batch = next(self.datamod.batches(split, batch_size=n,
+                                          drop_remainder=False))
+        labels = (self.datamod.labels_val if split == "val"
+                  else self.datamod.labels_train)
+        return batch, (labels[:n] if labels else None)
+
+    def eval_statistics(self):
+        """Run the dataset-specific benchmark (reference infer.py:54-63)."""
+        fn = self.datamod.datasets[0].eval_statistics_fn()
+        assert fn is not None, "dataset has no eval_statistics_fn"
+        return fn(self)
