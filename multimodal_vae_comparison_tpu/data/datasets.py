@@ -232,6 +232,11 @@ class MNIST_SVHN(BaseDataset):
     def labels(self):
         return self.train_labels
 
+    def eval_statistics_fn(self):
+        from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
+            mnistsvhn_eval)
+        return mnistsvhn_eval
+
     def _mod_specific_loaders(self):
         return {"mnist": self._load_mnist, "svhn": self._load_svhn}
 

@@ -137,6 +137,20 @@ class MMVAE(nn.Module):
         cls = get_dist(spec.prior)
         return cls(jnp.zeros((1, dim)), jnp.ones((1, dim)))
 
+    def kld_std(self, spec: ModalitySpec, dist) -> jnp.ndarray:
+        """Sum-over-latents KL(dist || unit prior of spec's family).
+
+        Gaussian case runs the fused Pallas reduction on TPU
+        (ops/pallas/kl_kernel.py); other families use the generic closed
+        form / MC path.
+        """
+        if isinstance(dist, Normal) and spec.prior in ("normal", "gaussian"):
+            from multimodal_vae_comparison_tpu.ops.pallas.kl_kernel import (
+                kl_normal_std_fused)
+            return kl_normal_std_fused(dist.loc, dist.scale)
+        return kl_divergence(
+            dist, self.prior_for(spec, dim=dist.loc.shape[-1])).sum(-1)
+
     # -- shared machinery ------------------------------------------------------
 
     def encode(self, batch: Dict[str, Dict[str, Any]],

@@ -94,7 +94,7 @@ class MOE(MMVAE):
         for spec in self.specs:
             mo = out.mods[spec.name]
             qz = mo.encoder_dist
-            kld = kl_divergence(qz, self.prior_for(spec)).sum(-1)
+            kld = self.kld_std(spec, qz)
             klds.append(kld)
             lpx_own = self.recon_lpx(spec, mo.decoder_dist, batch)
             rec_per_mod[spec.name] = -jnp.sum(lpx_own)
@@ -367,7 +367,7 @@ class DMVAE(MMVAE):
             for other, cross in mo.cross_decoder_dist.items():
                 lpx_cross = lpx_cross + jnp.sum(self.recon_lpx(spec, cross, batch))
                 kld_priv = kld_priv + jnp.sum(
-                    kl_divergence(mo.enc_dist_private, prior_priv).sum(-1))
+                    self.kld_std(spec, mo.enc_dist_private))
             loss_m = (objectives.elbo(lpx, kld, self.beta)
                       + objectives.elbo(lpx_joint, kld_joint, self.beta)
                       + (-(lpx_cross - self.beta * kld_priv)))
@@ -398,7 +398,7 @@ class UnimodalVAE(MMVAE):
         mo = out.mods[spec.name]
         lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
         if self.obj in ("elbo", "elbo_gumbel"):
-            kld = kl_divergence(mo.encoder_dist, self.prior_for(spec)).sum(-1)
+            kld = self.kld_std(spec, mo.encoder_dist)
             loss = objectives.elbo(lpx, kld, self.beta)
             kld_m = jnp.sum(kld)
         else:

@@ -45,9 +45,13 @@ def poe_precision_fusion(mus: jnp.ndarray, scales: jnp.ndarray,
 
 def product_of_experts(mus: jnp.ndarray, scales: jnp.ndarray,
                        include_prior: bool = True):
-    """PoE joint posterior from stacked experts; see poe_precision_fusion."""
-    return poe_precision_fusion(mus, scales,
-                                prior_precision=1.0 if include_prior else 0.0)
+    """PoE joint posterior from stacked experts; see poe_precision_fusion.
+
+    Dispatches to the Pallas TPU kernel (ops/pallas/poe_kernel.py) on TPU
+    backends; jnp reference elsewhere.
+    """
+    from multimodal_vae_comparison_tpu.ops.pallas.poe_kernel import poe_fused
+    return poe_fused(mus, scales, 1.0 if include_prior else 0.0)
 
 
 def mixture_component_selection(mus: jnp.ndarray, scales: jnp.ndarray,

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: product-of-experts precision fusion.
+
+The PoE fusion (ops/fusion.py) is the hottest non-matmul op in MVAE/MoPoE
+training: per step it runs once per modality subset (2^M-1 times for POE's
+subsampled objective).  The math is elementwise over (E, B, D) with a
+reduction over the expert axis E — exactly the kind of bandwidth-bound
+chain (square, reciprocal, multiply-accumulate, rsqrt) worth fusing into a
+single VMEM-resident Pallas kernel so the stacked expert parameters are read
+from HBM exactly once.
+
+Gradients: forward runs the Pallas kernel; backward uses the closed-form
+jnp expression via jax.custom_vjp (the backward is itself one fused XLA
+kernel, and reuses the forward's saved precisions).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_vae_comparison_tpu.constants import EPS
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _poe_kernel(mus_ref, scales_ref, prior_ref, mu_out_ref, scale_out_ref):
+    E = mus_ref.shape[0]
+    prior = prior_ref[0]
+    acc_prec = jnp.full(mus_ref.shape[1:], prior, dtype=jnp.float32)
+    acc_mu = jnp.zeros(mus_ref.shape[1:], dtype=jnp.float32)
+    for e in range(E):  # E is tiny and static -> unrolled adds in VMEM
+        scale = scales_ref[e].astype(jnp.float32)
+        prec = 1.0 / (scale * scale + EPS)
+        acc_prec = acc_prec + prec
+        acc_mu = acc_mu + mus_ref[e].astype(jnp.float32) * prec
+    inv = 1.0 / acc_prec
+    mu_out_ref[:] = acc_mu * inv
+    scale_out_ref[:] = jnp.sqrt(inv)
+
+
+def _poe_pallas(mus, scales, prior_precision):
+    prior = jnp.full((1,), prior_precision, dtype=jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(mus.shape[1:], jnp.float32)
+    return pl.pallas_call(
+        _poe_kernel,
+        out_shape=(out_shape, out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY
+                               if _INTERPRET else pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY
+                               if _INTERPRET else pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY
+                                if _INTERPRET else pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pl.ANY
+                                if _INTERPRET else pltpu.VMEM)),
+        interpret=_INTERPRET,
+    )(mus, scales, prior)
+
+
+def _poe_reference(mus, scales, prior_precision):
+    precision = 1.0 / (jnp.square(scales) + EPS)
+    denom = jnp.sum(precision, axis=0) + prior_precision
+    mu = jnp.sum(mus * precision, axis=0) / denom
+    return mu, jnp.sqrt(1.0 / denom)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def poe_fused(mus, scales, prior_precision: float = 1.0):
+    """PoE fusion with a Pallas forward on TPU and jnp closed-form VJP.
+
+    :param mus: (E, ..., D) expert means
+    :param scales: (E, ..., D) expert stddevs
+    :return: (mu, scale) of the product Gaussian, shape (..., D)
+    """
+    return _poe_impl(mus, scales, prior_precision)
+
+
+def _poe_impl(mus, scales, prior_precision):
+    if _INTERPRET or jax.default_backend() in ("tpu", "axon"):
+        try:
+            return _poe_pallas(mus, scales, prior_precision)
+        except Exception:
+            pass  # fall through to the reference path (e.g. odd shapes)
+    return _poe_reference(mus, scales, prior_precision)
+
+
+def _poe_fwd(mus, scales, prior_precision):
+    mu, scale = _poe_impl(mus, scales, prior_precision)
+    return (mu, scale), (mus, scales, mu, scale)
+
+
+def _poe_bwd(prior_precision, res, grads):
+    """Closed-form VJP of the precision-weighted fusion."""
+    mus, scales, mu, scale = res
+    g_mu, g_scale = grads
+    var = jnp.square(scales) + EPS
+    prec = 1.0 / var                         # (E, ..., D)
+    inv_denom = jnp.square(scale)            # 1 / sum(prec)
+    # d mu_out / d mu_e = prec_e * inv_denom
+    d_mus = g_mu[None] * prec * inv_denom[None]
+    # d mu_out / d prec_e = (mu_e - mu_out) * inv_denom
+    # d scale_out / d prec_e = -0.5 * inv_denom^{3/2}
+    g_prec = (g_mu * inv_denom)[None] * (mus - mu[None]) \
+        + (g_scale * (-0.5) * inv_denom * scale)[None]
+    # d prec_e / d scale_e = -2 * scale_e / var_e^2
+    d_scales = g_prec * (-2.0 * scales / jnp.square(var))
+    return d_mus, d_scales
+
+
+poe_fused.defvjp(_poe_fwd, _poe_bwd)

@@ -1,0 +1,95 @@
+"""Pallas kernel correctness vs jnp references (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_vae_comparison_tpu.ops.pallas import attention as attn_mod
+from multimodal_vae_comparison_tpu.ops.pallas import kl_kernel, poe_kernel
+from multimodal_vae_comparison_tpu.models.nets import (
+    dot_product_attention, key_padding_bias)
+from multimodal_vae_comparison_tpu.ops.fusion import poe_precision_fusion
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(poe_kernel, "_INTERPRET", True)
+    monkeypatch.setattr(kl_kernel, "_INTERPRET", True)
+    monkeypatch.setattr(attn_mod, "_INTERPRET", True)
+
+
+def test_poe_kernel_matches_reference():
+    rng = np.random.default_rng(0)
+    mus = jnp.array(rng.normal(size=(3, 8, 16)).astype(np.float32))
+    scales = jnp.array(rng.uniform(0.3, 2.0, (3, 8, 16)).astype(np.float32))
+    mu_k, scale_k = poe_kernel.poe_fused(mus, scales, 1.0)
+    mu_r, scale_r = poe_precision_fusion(mus, scales, 1.0)
+    np.testing.assert_allclose(np.asarray(mu_k), np.asarray(mu_r), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scale_k), np.asarray(scale_r),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_poe_kernel_gradients_match_reference():
+    rng = np.random.default_rng(1)
+    mus = jnp.array(rng.normal(size=(2, 4, 8)).astype(np.float32))
+    scales = jnp.array(rng.uniform(0.5, 1.5, (2, 4, 8)).astype(np.float32))
+
+    def loss_k(m, s):
+        mu, sc = poe_kernel.poe_fused(m, s, 1.0)
+        return jnp.sum(mu * 1.3 + sc * 0.7)
+
+    def loss_r(m, s):
+        mu, sc = poe_precision_fusion(m, s, 1.0)
+        return jnp.sum(mu * 1.3 + sc * 0.7)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(mus, scales)
+    gr = jax.grad(loss_r, argnums=(0, 1))(mus, scales)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_kl_kernel_matches_reference():
+    rng = np.random.default_rng(2)
+    mu = jnp.array(rng.normal(size=(16, 24)).astype(np.float32))
+    scale = jnp.array(rng.uniform(0.2, 3.0, (16, 24)).astype(np.float32))
+    got = kl_kernel.kl_normal_std_fused(mu, scale)
+    want = kl_kernel._kl_reference(mu, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+def test_kl_kernel_gradients():
+    mu = jnp.array([[0.5, -1.0]])
+    scale = jnp.array([[1.5, 0.7]])
+    g = jax.grad(lambda m, s: kl_kernel.kl_normal_std_fused(m, s).sum(),
+                 argnums=(0, 1))(mu, scale)
+    gr = jax.grad(lambda m, s: kl_kernel._kl_reference(m, s).sum(),
+                  argnums=(0, 1))(mu, scale)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+@pytest.mark.parametrize("tq,tk,block", [(8, 8, 8), (8, 30, 8), (4, 130, 128)])
+def test_flash_attention_matches_reference(tq, tk, block):
+    rng = np.random.default_rng(3)
+    b, h, dh = 2, 2, 16
+    q = jnp.array(rng.normal(size=(b, h, tq, dh)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(b, h, tk, dh)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(b, h, tk, dh)).astype(np.float32))
+    mask = jnp.array(rng.random((b, tk)) > 0.3)
+    mask = mask.at[:, 0].set(True)  # at least one visible key
+    got = attn_mod.masked_flash_attention(q, k, v, mask, kv_block=block)
+    want = dot_product_attention(q, k, v, key_padding_bias(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_no_mask():
+    rng = np.random.default_rng(4)
+    q = jnp.array(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+    k = jnp.array(rng.normal(size=(1, 2, 10, 8)).astype(np.float32))
+    v = jnp.array(rng.normal(size=(1, 2, 10, 8)).astype(np.float32))
+    got = attn_mod.masked_flash_attention(q, k, v)
+    want = dot_product_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
