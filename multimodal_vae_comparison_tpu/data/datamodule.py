@@ -92,13 +92,14 @@ class DataModule:
     # -- batches -----------------------------------------------------------------
 
     def _make_batch(self, split: List[Dict], idx: np.ndarray) -> Dict:
+        from multimodal_vae_comparison_tpu.data import native
         batch = {}
         for i, mod in enumerate(split):
             name = f"mod_{i + 1}"
             masks = mod["masks"]
             batch[name] = {
-                "data": mod["data"][idx],
-                "masks": masks[idx] if masks is not None else None,
+                "data": native.gather(mod["data"], idx),
+                "masks": native.gather(masks, idx) if masks is not None else None,
             }
         return batch
 

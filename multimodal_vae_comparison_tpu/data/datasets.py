@@ -122,7 +122,9 @@ class BaseDataset:
     def _load_text_onehot(self, texts, seq_len) -> Tuple[np.ndarray, np.ndarray]:
         self.has_masks = True
         self.categorical = True
-        return text_utils.encode_text_batch(texts, seq_len)
+        # native C++ one-hot path (data/native.py) with python fallback
+        from multimodal_vae_comparison_tpu.data import native
+        return native.one_hot_text(texts, seq_len)
 
 
 # ---------------------------------------------------------------------------
