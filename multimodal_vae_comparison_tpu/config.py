@@ -51,6 +51,8 @@ _TOP_DEFAULTS = {
     "prefetch": 2,                # host->device prefetch depth
     "donate_state": True,
     "log_every": 50,
+    # None = auto (scan whole epochs on device when the dataset fits in HBM)
+    "scan_epochs": None,
 }
 
 

@@ -56,6 +56,8 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     successes = 0
     for ep in range(episodes):
         obs = env.reset()
+        images.append(obs["rgb"])    # initial scene: what the policy sees
+        instructions.append(env.instruction)
         traj = []
         done = False
         while not done and len(traj) < max_len:
@@ -63,8 +65,6 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
             traj.append(action)
             obs, reward, done, info = env.step(action)
         successes += int(env.is_success())
-        images.append(env.sim.render())           # final-scene observation
-        instructions.append(env.instruction)
         trajectories.append(np.stack(traj))
     vocab = sorted({w for ins in instructions for w in ins.split(" ")})
     with open(os.path.join(out_dir, "image_final.pkl"), "wb") as f:

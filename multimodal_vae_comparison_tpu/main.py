@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--optimizer", type=str, default=None)
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--no_viz", action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of epoch 1 into DIR")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (analog of the "
+                             "reference's torch.isnan scrubbing)")
     return parser
 
 
@@ -57,14 +62,24 @@ def cli(argv=None):
 
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     overrides = {k: v for k, v in vars(args).items()
-                 if k not in ("cfg", "no_viz")}
+                 if k not in ("cfg", "no_viz", "profile", "debug_nans")}
     config = Config(args.cfg, overrides=overrides)
     # multi-seed iteration (reference main.py:56-67)
     for it in range(int(getattr(config, "iterseeds", 1))):
         print(f"### Training model {it + 1}/{config.iterseeds} "
               f"(seed {config.seed})")
         main(config, enable_viz=not args.no_viz)
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+            args.profile = None
         if it + 1 < config.iterseeds:
             config = Config(args.cfg, overrides=overrides)
             config.change_seed(config.seed + it + 1)

@@ -392,8 +392,39 @@ class UnimodalVAE(MMVAE):
         return VAEOutput(mods={spec.name: ModalityOutput(
             encoder_dist=qz, decoder_dist=dec, latents=z)})
 
+    def _gumbel_forward(self, batch):
+        """Gumbel-softmax categorical latent path (reference vae.py:86-97):
+        relu'd encoder output reshaped into (groups, cats) categorical logits,
+        relaxed one-hot samples decoded through a sigmoid head."""
+        from multimodal_vae_comparison_tpu.models.distributions import (
+            OneHotCategorical)
+        spec = self.specs[0]
+        qz_params = self.encode(batch, (spec.name,))
+        mu, _ = qz_params[spec.name]["shared"]
+        cats = spec.feature_dims[1]
+        groups = self.n_latents // cats
+        logits = jax.nn.relu(mu).reshape(mu.shape[0], groups, cats)
+        qz = OneHotCategorical(logits=logits)
+        z = qz.rsample(self.make_rng("sample"), (self.K,))
+        z = z.reshape(self.K, mu.shape[0], groups * cats)
+        dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+        return VAEOutput(mods={spec.name: ModalityOutput(
+            encoder_dist=qz, decoder_dist=dec, latents=z)})
+
     def objective(self, batch):
         spec = self.specs[0]
+        if self.obj == "elbo_gumbel" or spec.prior == "gumbel":
+            from multimodal_vae_comparison_tpu.models.distributions import (
+                OneHotCategorical)
+            out = self._gumbel_forward(batch)
+            mo = out.mods[spec.name]
+            lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
+            uniform = OneHotCategorical(
+                logits=jnp.zeros_like(mo.encoder_dist.logits))
+            kld = mo.encoder_dist.kl(uniform).sum(-1)
+            loss = objectives.elbo(lpx, kld, self.beta)
+            return loss, {"kld": jnp.sum(kld),
+                          f"reconstruction_loss_{spec.name}": -jnp.sum(lpx)}
         out = self.forward(batch)
         mo = out.mods[spec.name]
         lpx = self.recon_lpx(spec, mo.decoder_dist, batch)

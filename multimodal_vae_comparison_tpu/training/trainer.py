@@ -84,6 +84,44 @@ def make_train_step(model, tx):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_epoch_runner(model, tx):
+    """Whole-epoch lax.scan runner: ONE dispatch per epoch.
+
+    The datasets here fit in HBM (largest is a few GB), so the fastest
+    schedule is to stage the epoch's batches on device once and scan the
+    train step over them — no per-step host round trips, no H2D inside the
+    epoch.  This is the TPU-idiomatic replacement for the reference's
+    per-batch Lightning loop and is enabled automatically for resident
+    datasets (cfg.scan_epochs / auto-size check in Trainer.fit).
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return model.apply(params, batch, rngs={"sample": rng},
+                               method=model.objective)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    def epoch_fn(state, epoch_data, rng):
+        def body(state, batch):
+            return train_step(state, batch, rng)
+
+        state, metrics = jax.lax.scan(body, state, epoch_data)
+        return state, jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
+                                             metrics)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
 def make_eval_step(model):
     def eval_step(params, batch, rng):
         loss, metrics = model.apply(params, batch, rngs={"sample": rng},
@@ -132,6 +170,8 @@ class Trainer:
         self.tx = make_optimizer(cfg.optimizer, cfg.lr)
         self.train_step = make_train_step(self.model, self.tx)
         self.eval_step = make_eval_step(self.model)
+        self.epoch_runner = make_epoch_runner(self.model, self.tx)
+        self._staged_epoch = None
         self.enable_viz = enable_viz
         self.state: Optional[TrainState] = None
         self.best_val = float("inf")
@@ -199,6 +239,54 @@ class Trainer:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
 
+    # -- scan fast path ------------------------------------------------------------
+
+    def _train_bytes(self) -> int:
+        total = 0
+        for mod in self.datamodule._train:
+            total += mod["data"].nbytes
+            if mod["masks"] is not None:
+                total += mod["masks"].nbytes
+        return total
+
+    def use_scan(self) -> bool:
+        flag = getattr(self.cfg, "scan_epochs", None)
+        if flag is not None:
+            return bool(flag)
+        # auto: stage resident datasets up to ~4 GB in HBM
+        return self._train_bytes() < 4 * 1024 ** 3
+
+    def stage_epoch_data(self):
+        """Stack the train split into (n_batches, bs, ...) device arrays,
+        sharded so the batch axis rides the mesh's data axis."""
+        if self._staged_epoch is not None:
+            return self._staged_epoch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        bs = self.cfg.batch_size
+        n_batches = self.datamodule.n_train // bs
+        staged = {}
+        for i, mod in enumerate(self.datamodule._train):
+            name = f"mod_{i + 1}"
+            data = mod["data"][: n_batches * bs]
+            data = data.reshape(n_batches, bs, *data.shape[1:])
+            entry = {"data": jax.device_put(data, sh)}
+            if mod["masks"] is not None:
+                masks = mod["masks"][: n_batches * bs]
+                entry["masks"] = jax.device_put(
+                    masks.reshape(n_batches, bs, *masks.shape[1:]), sh)
+            else:
+                entry["masks"] = None
+            staged[name] = entry
+        self._staged_epoch = staged
+        return staged
+
+    def run_epoch_scan(self, epoch: int) -> Dict[str, float]:
+        rng = jax.random.PRNGKey(self.cfg.seed * 100003 + epoch)
+        staged = self.stage_epoch_data()
+        self.state, metrics = self.epoch_runner(self.state, staged, rng)
+        return {f"train_{k}": float(v) for k, v in metrics.items()}
+
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         rng = jax.random.PRNGKey(self.cfg.seed * 100003 + epoch)
         sharding = batch_sharding(self.mesh)
@@ -235,9 +323,11 @@ class Trainer:
             self.init_state()
         epochs = epochs or self.cfg.epochs
         history = {}
+        scan = self.use_scan()
         for epoch in range(epochs):
             t0 = time.time()
-            train_metrics = self.run_epoch(epoch)
+            train_metrics = (self.run_epoch_scan(epoch) if scan
+                             else self.run_epoch(epoch))
             val_metrics = self.validate(epoch)
             metrics = {**train_metrics, **val_metrics,
                        "epoch_time_s": time.time() - t0,
