@@ -53,6 +53,7 @@ _TOP_DEFAULTS = {
     "log_every": 50,
     # None = auto (scan whole epochs on device when the dataset fits in HBM)
     "scan_epochs": None,
+    "ckpt_freq": 1,
 }
 
 

@@ -37,6 +37,8 @@ class DataModule:
         self.labels_val: Optional[List] = None
         self._train: Optional[List[Dict[str, np.ndarray]]] = None
         self._val: Optional[List[Dict[str, np.ndarray]]] = None
+        self._test: Optional[List[Dict[str, np.ndarray]]] = None
+        self.labels_test: Optional[List] = None
 
     # -- setup -----------------------------------------------------------------
 
@@ -68,6 +70,23 @@ class DataModule:
             self.labels_train = labels[:n_train]
             self.labels_val = labels[n_train:]
         self._train, self._val = train, val
+        # dedicated test split from test_datapath when configured; falls back
+        # to val otherwise (reference dataloader.py:166-176)
+        if any(m.test_datapath for m in self.config.mods):
+            test = []
+            for dataset, mod in zip(self.datasets, self.config.mods):
+                data, masks = dataset.get_data("test")
+                test.append({"data": data, "masks": masks})
+            self._test = test
+            lab = None
+            for d in self.datasets:
+                try:
+                    lab = d.labels()
+                except Exception:
+                    lab = None
+                if lab is not None:
+                    break
+            self.labels_test = lab
 
     def get_labels(self):
         if getattr(self.config, "labels", None):
@@ -108,7 +127,12 @@ class DataModule:
                 drop_remainder: bool = True) -> Iterator[Dict]:
         """Iterate static-shape batches of one split."""
         self.setup()
-        data = self._train if split == "train" else self._val
+        if split == "train":
+            data = self._train
+        elif split == "test":
+            data = self._test if self._test is not None else self._val
+        else:
+            data = self._val
         n = len(data[0]["data"])
         bs = batch_size or self.batch_size
         order = np.arange(n)

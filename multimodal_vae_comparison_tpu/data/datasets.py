@@ -152,7 +152,8 @@ class CDSPRITESPLUS(BaseDataset):
         return 1
 
     def labels(self):
-        self.current_path = self.path
+        if self.current_path is None:
+            self.current_path = self.path
         texts = [x.decode("utf8") for x in self.get_data_raw()["text"]]
         lvl = self.level()
         if lvl == 1:

@@ -98,11 +98,16 @@ class MultimodalVAEInfer:
             recons[name] = np.asarray(dist.mean[0])
         return recons
 
-    def get_test_samples(self, n: int, split: str = "val"):
+    def get_test_samples(self, n: int, split: str = "test"):
+        """Samples + labels from the test split (falls back to val,
+        reference dataloader.py:166-176)."""
+        if split == "test" and self.datamod._test is None:
+            split = "val"
         batch = next(self.datamod.batches(split, batch_size=n,
                                           drop_remainder=False))
-        labels = (self.datamod.labels_val if split == "val"
-                  else self.datamod.labels_train)
+        labels = {"test": self.datamod.labels_test,
+                  "val": self.datamod.labels_val,
+                  "train": self.datamod.labels_train}[split]
         return batch, (labels[:n] if labels else None)
 
     def eval_statistics(self):

@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--exp_name", type=str, default=None)
     parser.add_argument("--optimizer", type=str, default=None)
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--pre_trained", type=str, default=None,
+                        help="run dir to warm-start parameters from")
     parser.add_argument("--no_viz", action="store_true")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of epoch 1 into DIR")
@@ -57,9 +59,27 @@ def main(config, enable_viz: bool = True):
     return trainer
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: repeated runs of the same config
+    skip the (multi-minute on remote-compile setups) compile entirely."""
+    import os
+
+    import jax
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_compilation"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def cli(argv=None):
     from multimodal_vae_comparison_tpu.config import Config
 
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.debug_nans:

@@ -133,6 +133,23 @@ def make_eval_step(model):
     return jax.jit(eval_step)
 
 
+def make_eval_runner(model):
+    """Whole-val-split lax.scan evaluation (one dispatch per validation)."""
+
+    def eval_fn(params, staged, rng):
+        def body(carry, batch):
+            loss, metrics = model.apply(params, batch, rngs={"sample": rng},
+                                        method=model.objective)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return carry, metrics
+
+        _, metrics = jax.lax.scan(body, None, staged)
+        return jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), metrics)
+
+    return jax.jit(eval_fn)
+
+
 class CSVLogger:
     """Minimal CSV metrics sink (reference's CSVLogger analog)."""
 
@@ -171,7 +188,9 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx)
         self.eval_step = make_eval_step(self.model)
         self.epoch_runner = make_epoch_runner(self.model, self.tx)
+        self.eval_runner = make_eval_runner(self.model)
         self._staged_epoch = None
+        self._staged_val = None
         self.enable_viz = enable_viz
         self.state: Optional[TrainState] = None
         self.best_val = float("inf")
@@ -287,6 +306,39 @@ class Trainer:
         self.state, metrics = self.epoch_runner(self.state, staged, rng)
         return {f"train_{k}": float(v) for k, v in metrics.items()}
 
+    def stage_val_data(self):
+        if self._staged_val is not None:
+            return self._staged_val
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        bs = self.cfg.batch_size
+        n_batches = max(self.datamodule.n_val // bs, 0)
+        if n_batches == 0:
+            return None
+        staged = {}
+        for i, mod in enumerate(self.datamodule._val):
+            name = f"mod_{i + 1}"
+            data = mod["data"][: n_batches * bs]
+            entry = {"data": jax.device_put(
+                data.reshape(n_batches, bs, *data.shape[1:]), sh)}
+            if mod["masks"] is not None:
+                masks = mod["masks"][: n_batches * bs]
+                entry["masks"] = jax.device_put(
+                    masks.reshape(n_batches, bs, *masks.shape[1:]), sh)
+            else:
+                entry["masks"] = None
+            staged[name] = entry
+        self._staged_val = staged
+        return staged
+
+    def validate_scan(self, epoch: int) -> Dict[str, float]:
+        staged = self.stage_val_data()
+        if staged is None:
+            return self.validate(epoch)
+        rng = jax.random.PRNGKey(7 + epoch)
+        metrics = self.eval_runner(self.state.params, staged, rng)
+        return {f"val_{k}": float(v) for k, v in metrics.items()}
+
     def run_epoch(self, epoch: int) -> Dict[str, float]:
         rng = jax.random.PRNGKey(self.cfg.seed * 100003 + epoch)
         sharding = batch_sharding(self.mesh)
@@ -324,11 +376,13 @@ class Trainer:
         epochs = epochs or self.cfg.epochs
         history = {}
         scan = self.use_scan()
+        ckpt_freq = int(getattr(self.cfg, "ckpt_freq", 1) or 1)
         for epoch in range(epochs):
             t0 = time.time()
             train_metrics = (self.run_epoch_scan(epoch) if scan
                              else self.run_epoch(epoch))
-            val_metrics = self.validate(epoch)
+            val_metrics = (self.validate_scan(epoch) if scan
+                           else self.validate(epoch))
             metrics = {**train_metrics, **val_metrics,
                        "epoch_time_s": time.time() - t0,
                        "samples_per_s": (self.datamodule.steps_per_epoch()
@@ -340,7 +394,8 @@ class Trainer:
                                if k in ("train_loss", "val_loss",
                                         "epoch_time_s", "samples_per_s"))
                 log_fn(f"epoch {epoch}: {msg}")
-            if self.cfg.mPath:
+            if self.cfg.mPath and ((epoch + 1) % ckpt_freq == 0
+                                   or epoch + 1 == epochs):
                 self.save_checkpoint("last")
                 val_loss = val_metrics.get("val_loss", float("inf"))
                 if val_loss < self.best_val:

@@ -1,0 +1,69 @@
+"""FID, CCA and test-split plumbing tests."""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_vae_comparison_tpu.eval.fid import (
+    calculate_fid_given_data, frechet_distance)
+
+
+def test_frechet_distance_identical_is_zero():
+    mu = np.array([1.0, 2.0])
+    sigma = np.array([[1.0, 0.2], [0.2, 1.0]])
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_mean_shift():
+    mu1, mu2 = np.zeros(2), np.array([3.0, 4.0])
+    sigma = np.eye(2)
+    assert frechet_distance(mu1, sigma, mu2, sigma) == pytest.approx(25.0, rel=1e-5)
+
+
+def test_fid_discriminates_distributions():
+    rng = np.random.default_rng(0)
+    real = rng.random((64, 32, 32, 3)).astype(np.float32)
+    same = rng.random((64, 32, 32, 3)).astype(np.float32)
+    different = np.clip(real * 0.2 + 0.8, 0, 1)
+    fid_same = calculate_fid_given_data(real, same)
+    fid_diff = calculate_fid_given_data(real, different)
+    assert fid_diff > fid_same
+
+
+def test_datamodule_test_split(tmp_path):
+    import h5py
+    from multimodal_vae_comparison_tpu.config import Config
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+
+    def write_h5(path, n, tag):
+        rng = np.random.default_rng(len(tag))
+        with h5py.File(path, "w") as f:
+            f.create_dataset("image", data=rng.integers(
+                0, 255, (n, 64, 64, 3), dtype=np.uint8))
+            f.create_dataset("text", data=np.array(
+                [f"{tag} square".encode()] * n))
+
+    train = os.path.join(str(tmp_path), "traindata.h5")
+    test = os.path.join(str(tmp_path), "testdata.h5")
+    write_h5(train, 20, "big")
+    write_h5(test, 8, "small")
+    cfg = Config({
+        "batch_size": 4, "epochs": 1, "exp_name": "t", "lr": 1e-3,
+        "n_latents": 4, "dataset_name": "cdspritesplus", "labels": None,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": train, "test_datapath": test},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN", "mod_type": "text",
+                       "path": train, "test_datapath": test},
+    }, results_root=str(tmp_path))
+    dm = DataModule(cfg)
+    dm.setup()
+    test_batches = list(dm.batches("test", drop_remainder=False))
+    assert sum(len(b["mod_1"]["data"]) for b in test_batches) == 8
+    assert dm.labels_test[0] == "small square"
+    # val fallback when no test_datapath
+    for m in cfg.mods:
+        m.test_datapath = None
+    dm2 = DataModule(cfg)
+    dm2.setup()
+    assert dm2._test is None
+    assert len(list(dm2.batches("test", drop_remainder=False))) > 0
