@@ -48,6 +48,8 @@ class MultimodalVAEInfer:
         abstract = self.model.init({"params": rng, "sample": rng}, batch,
                                    method=self.model.objective)
         ckpt = os.path.join(self.run_dir, "model", "last")
+        if not os.path.isdir(ckpt):
+            ckpt = os.path.join(self.run_dir, "model", "best")
         assert os.path.isdir(ckpt), f"no checkpoint at {ckpt}"
         ckptr = ocp.StandardCheckpointer()
         target = {"params": jax.device_get(abstract),
@@ -87,9 +89,13 @@ class MultimodalVAEInfer:
         return recons
 
     def joint_generate(self, num_samples: int, seed: int = 0) -> Dict[str, np.ndarray]:
-        """Decode prior samples with every decoder (joint generation)."""
-        z = jax.random.normal(jax.random.PRNGKey(seed),
-                              (1, num_samples, self.model.n_latents))
+        """Decode *learned*-prior samples with every decoder (joint
+        generation; the reference samples pz with its trained softmax scale,
+        trainer.py:217-239)."""
+        mu, scale = self.model.apply(self.params,
+                                     method=lambda m: m.pz_params())
+        z = mu + scale * jax.random.normal(
+            jax.random.PRNGKey(seed), (1, num_samples, self.model.n_latents))
         recons = {}
         for name in self.mod_names:
             dist = self.model.apply(
@@ -109,6 +115,11 @@ class MultimodalVAEInfer:
                   "val": self.datamod.labels_val,
                   "train": self.datamod.labels_train}[split]
         return batch, (labels[:n] if labels else None)
+
+    def get_wrapped_model(self):
+        """Compat shim: the reference returns a Lightning wrapper
+        (infer.py:29-39); here the infer object *is* the wrapped model."""
+        return self
 
     def eval_statistics(self):
         """Run the dataset-specific benchmark (reference infer.py:54-63)."""

@@ -83,13 +83,27 @@ class MOE(MMVAE):
     def objective(self, batch):
         present = self.mod_names
         out = self.forward(batch, present)
-        if self.obj == "elbo":
+        if self.obj in ("elbo", "elbo_iw"):
             return self._objective_elbo(batch, out)
         return self._objective_kweighted(batch, out)
 
     def _objective_elbo(self, batch, out: VAEOutput):
-        """MoE ELBO with importance-weighted cross terms
-        (reference mmvae_models.py:41-78)."""
+        """Canonical MMVAE mixture ELBO (m_elbo_naive of
+        https://github.com/iffsid/mmvae):
+
+            (1/M) sum_m [ sum_n llik_n * log p(x_n | z_m) - beta KL(q_m||p) ]
+
+        — every decoder trains on every modality's samples with unit weight,
+        which is what aligns the shared space for cross-generation.
+
+        Documented fix: the reference weights the cross terms by
+        exp(log q_r(z_o) - log q_o(z_o)) (mmvae_models.py:52-62); with the
+        sharp softmax+eta posterior scales that factor underflows to ~0, so
+        the cross decoders receive no gradient and Img<->Txt coherency
+        collapses (confirmed empirically on CdSprites+ L1).  The
+        importance-weighted variant remains available as obj 'elbo_iw'.
+        """
+        weighted = self.obj == "elbo_iw"
         lpx_terms, klds, rec_per_mod = [], [], {}
         for spec in self.specs:
             mo = out.mods[spec.name]
@@ -100,13 +114,14 @@ class MOE(MMVAE):
             rec_per_mod[spec.name] = -jnp.sum(lpx_own)
             lpx_terms.append(lpx_own)
             for other, cross_dist in mo.cross_decoder_dist.items():
-                z_o = jax.lax.stop_gradient(out.mods[other].latents)
-                lq_self = jnp.nan_to_num(qz.log_prob(z_o), nan=0.0).sum(-1)
-                lq_other = jax.lax.stop_gradient(
-                    out.mods[other].encoder_dist.log_prob(z_o).sum(-1))
-                lwt = jnp.exp(lq_self - lq_other)          # (K, B)
                 lpx_cross = self.recon_lpx(spec, cross_dist, batch)
-                lpx_terms.append(lwt * lpx_cross)
+                if weighted:
+                    z_o = jax.lax.stop_gradient(out.mods[other].latents)
+                    lq_self = jnp.nan_to_num(qz.log_prob(z_o), nan=0.0).sum(-1)
+                    lq_other = jax.lax.stop_gradient(
+                        out.mods[other].encoder_dist.log_prob(z_o).sum(-1))
+                    lpx_cross = jnp.exp(lq_self - lq_other) * lpx_cross
+                lpx_terms.append(lpx_cross)
         lpx = jnp.stack([t.reshape(-1) for t in lpx_terms])
         kld = jnp.stack(klds)
         loss = objectives.elbo(lpx, kld, self.beta) / len(self.specs)

@@ -432,6 +432,102 @@ class ViT(nn.Module):
         return nn.Dense(self.num_outputs, dtype=self.dtype)(h[:, 0])
 
 
+class MultiTransformer(nn.Module):
+    """Transformer fusion network over stacked per-modality latent tokens
+    (reference nn_modules.py:65-142): embeds a (B, T, D) sequence of latent
+    vectors, runs a masked encoder (optionally followed by a time-query
+    decoder), and emits fused (mu, scale).  ``zero_masking`` masks all-zero
+    rows (the reference's padded-modality convention)."""
+
+    latent_dim: int
+    num_layers: int = 2
+    num_heads: int = 2
+    ff_size: int = 2048
+    zero_masking: bool = False
+    use_decoder: bool = False
+    use_ml_layers: bool = True
+    output_mean: bool = True
+    pos_encoding: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t = x.shape[0], x.shape[1]
+        x = x.reshape(b, t, -1)
+        if mask is None and self.zero_masking:
+            mask = jnp.any(x != 0, axis=-1)
+        h = nn.Dense(self.latent_dim, dtype=self.dtype,
+                     name="skel_embedding")(x)
+        if self.pos_encoding:
+            h = h + positional_encoding(t, self.latent_dim, dtype=h.dtype)[None]
+        h = TransformerEncoder(self.num_layers, self.num_heads, self.ff_size,
+                               dtype=self.dtype)(h, key_mask=mask)
+        if self.use_decoder:
+            queries = jnp.tile(positional_encoding(
+                t, self.latent_dim, dtype=h.dtype)[None], (b, 1, 1))
+            h = TransformerDecoder(self.num_layers, self.num_heads,
+                                   self.ff_size, dtype=self.dtype)(
+                queries, h, tgt_key_mask=mask)
+        if not self.use_ml_layers:
+            mu, raw = h[:, 0], h[:, 1]
+        else:
+            z = h.mean(axis=1) if self.output_mean else h[:, 0]
+            mu = nn.Dense(self.latent_dim, dtype=self.dtype, name="mu_layer")(z)
+            raw = nn.Dense(self.latent_dim, dtype=self.dtype,
+                           name="logvar_layer")(z)
+        scale = jax.nn.softmax(raw.astype(jnp.float32), axis=-1) + ETA
+        return mu.astype(jnp.float32), scale
+
+
+class ResidualBlock1dConv(nn.Module):
+    """Weighted-residual 1D conv block (reference nn_modules.py:144-177,
+    MoPoE feature compressors): out = a*residual + b*conv_path."""
+
+    channels_out: int
+    kernel: int = 1
+    strides: int = 1
+    a: float = 2.0
+    b: float = 0.3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        h = group_norm(x, dtype=self.dtype)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels_out, (self.kernel,), strides=self.strides,
+                    padding="SAME", dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        h = nn.Conv(self.channels_out, (self.kernel,), strides=1,
+                    padding="SAME", dtype=self.dtype)(h)
+        if residual.shape != h.shape:
+            residual = nn.Conv(self.channels_out, (1,), strides=self.strides,
+                               dtype=self.dtype)(x)
+        return self.a * residual + self.b * h
+
+
+class ResidualFeatureCompressor(nn.Module):
+    """Residual 1D-conv compressor emitting style/content (mu, raw-scale)
+    pairs (reference nn_modules.py:210-228, from the MoPoE repo)."""
+
+    out_style: int
+    out_content: int
+    a: float = 2.0
+    b: float = 0.3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        def branch(name, out):
+            return ResidualBlock1dConv(out, a=self.a, b=self.b,
+                                       dtype=self.dtype, name=name)(feats)
+        return (branch("style_mu", self.out_style),
+                branch("style_logvar", self.out_style),
+                branch("content_mu", self.out_content),
+                branch("content_logvar", self.out_content))
+
+
 class VGGFeatures(nn.Module):
     """VGG19-topology feature extractor for the perceptual 'feature_loss'.
 
