@@ -54,6 +54,7 @@ _TOP_DEFAULTS = {
     # None = auto (scan whole epochs on device when the dataset fits in HBM)
     "scan_epochs": None,
     "ckpt_freq": 1,
+    "remat": False,
 }
 
 

@@ -82,6 +82,9 @@ class MMVAE(nn.Module):
     beta: float = 1.0
     K: int = 1
     dtype: Any = jnp.float32
+    # rematerialize encoder/decoder activations in the backward pass
+    # (jax.checkpoint): trades FLOPs for HBM on the big video/ResNet trunks
+    remat: bool = False
 
     def setup(self):
         encs, decs = {}, {}
@@ -89,6 +92,9 @@ class MMVAE(nn.Module):
             out_latents = self.n_latents
             enc_cls = get_encoder(spec.encoder)
             dec_cls = get_decoder(spec.decoder)
+            if self.remat:
+                enc_cls = nn.remat(enc_cls)
+                dec_cls = nn.remat(dec_cls)
             encs[spec.name] = enc_cls(latent_dim=out_latents,
                                       data_dim=spec.feature_dims,
                                       latent_private=spec.private_latents,

@@ -52,7 +52,8 @@ def build_model(cfg, dtype=jnp.float32):
     unimodal fallback when a single modality is configured."""
     specs = build_specs(cfg)
     kwargs = dict(specs=specs, n_latents=cfg.n_latents, obj=cfg.obj,
-                  beta=cfg.beta, K=cfg.K, dtype=dtype)
+                  beta=cfg.beta, K=cfg.K, dtype=dtype,
+                  remat=bool(getattr(cfg, "remat", False)))
     if len(specs) == 1:
         return UnimodalVAE(**kwargs)
     return get_mixing(cfg.mixing)(**kwargs)
