@@ -187,15 +187,35 @@ class Dec_FNN(VaeDecoder):
 
 def _time_query_decode(z, mask, seq_len, d_model, num_layers, num_heads,
                        ff_size, dtype):
-    """Shared sequence-decoding trunk: zero time-queries + positional encoding
-    cross-attend to z as a single-token memory (reference decoders.py:594-615)."""
+    """Shared sequence-decoding trunk: positional time-queries cross-attend to
+    z as a single-token memory (reference decoders.py:594-615).
+
+    Deliberate fix vs the reference: NO self-attention among the queries.
+    The reference's decoder self-attends over the queries under the padding
+    mask during training but generates without a mask, so the attention
+    pattern at valid positions shifts between train and generation and
+    cross-generated sequences come out positionally smeared (confirmed
+    empirically: 'ellipse' -> 'lllipp...').  Queries are pure positional
+    encodings, so self-attention adds nothing; cross-attention-only decoding
+    is mask-independent by construction and cheaper.
+    """
     b = z.shape[0]
     queries = jnp.tile(positional_encoding(seq_len, d_model, dtype=dtype)[None],
                        (b, 1, 1))
+    h = queries
     memory = z[:, None, :]
-    out = TransformerDecoder(num_layers, num_heads, ff_size, dtype=dtype)(
-        queries, memory, tgt_key_mask=mask)
-    return out
+    from multimodal_vae_comparison_tpu.models.nets import (
+        MultiHeadAttention)
+    from flax import linen as nn
+    for i in range(num_layers):
+        att = MultiHeadAttention(num_heads, dtype=dtype,
+                                 name=f"cross_attn_{i}")(h, memory)
+        h = nn.LayerNorm(dtype=dtype, name=f"ln1_{i}")(h + att)
+        ff = nn.Dense(ff_size, dtype=dtype, name=f"ff1_{i}")(h)
+        ff = nn.gelu(ff)
+        ff = nn.Dense(d_model, dtype=dtype, name=f"ff2_{i}")(ff)
+        h = nn.LayerNorm(dtype=dtype, name=f"ln2_{i}")(h + ff)
+    return h
 
 
 class Dec_Transformer(VaeDecoder):

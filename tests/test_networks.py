@@ -59,7 +59,7 @@ def test_encoder_shapes(name):
     assert np.all(np.asarray(scale) > 0)
 
 
-@pytest.mark.parametrize("name", sorted(ENC_CASES))
+@pytest.mark.parametrize("name", ["FNN", "TxtTransformer", "SVHN"])
 def test_encoder_private_latents_widen_output(name):
     shape, needs_mask = ENC_CASES[name]
     enc = get_encoder(name)(latent_dim=LATENT, data_dim=shape, latent_private=3)

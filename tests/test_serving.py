@@ -1,0 +1,79 @@
+"""Serving engine + HTTP server tests (tiny CPU model)."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from multimodal_vae_comparison_tpu.config import Config
+from multimodal_vae_comparison_tpu.eval.eval_cdsprites import _as_infer
+from multimodal_vae_comparison_tpu.serving.engine import InferenceEngine
+from multimodal_vae_comparison_tpu.serving.server import make_handler
+from multimodal_vae_comparison_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "srv", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "synthetic",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": "32"},
+        "modality_2": {"encoder": "FNN", "decoder": "TxtTransformer",
+                       "mod_type": "text", "path": "32"},
+    }, results_root=str(tmp))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    infer = _as_infer(trainer)
+    return InferenceEngine(infer, buckets=(2, 8)), infer
+
+
+def test_generate_pads_to_bucket_and_trims(engine):
+    eng, infer = engine
+    data = np.random.default_rng(0).random((5, 64, 64, 3)).astype(np.float32)
+    out = eng.generate({"mod_1": {"data": data}})
+    assert out["mod_1"].shape == (5, 64, 64, 3)
+    assert out["mod_2"].shape[0] == 5
+    # repeat -> same compiled fn reused (one per present-set)
+    out2 = eng.generate({"mod_1": {"data": data[:1]}})
+    assert out2["mod_1"].shape[0] == 1
+    assert len(eng._fns) == 1
+
+
+def test_decode_latents(engine):
+    eng, infer = engine
+    out = eng.decode_latents(np.zeros((3, 4), np.float32))
+    assert out["mod_1"].shape == (3, 64, 64, 3)
+
+
+def test_http_surface(engine):
+    eng, infer = engine
+    from http.server import ThreadingHTTPServer
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, infer))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        health = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health"))
+        assert health["status"] == "ok"
+        assert health["modalities"] == ["mod_1", "mod_2"]
+        req = {"inputs": {"mod_1": {"data": np.zeros((2, 64, 64, 3)).tolist()}}}
+        resp = json.load(urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"})))
+        assert np.asarray(resp["mod_2"]).shape[0] == 2
+        # malformed payload -> 400
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=b"junk",
+                headers={"Content-Type": "application/json"}))
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
