@@ -58,37 +58,50 @@ class VideoClassifier(nn.Module):
 
 
 def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
-                     epochs: int = 12, batch_size: int = 64, lr: float = 1e-3,
+                     epochs: int = 12, batch_size: int = 128, lr: float = 1e-3,
                      seed: int = 0, log_fn=None) -> Dict:
-    """Train a classifier to convergence on (images, int labels)."""
+    """Train a classifier to convergence on (images, int labels).
+
+    The whole epoch runs as one lax.scan (data staged on device once), so on
+    remote-dispatch TPU setups the loop is one call per epoch, not one per
+    batch.
+    """
     rng = jax.random.PRNGKey(seed)
     params = model.init(rng, jnp.zeros((1,) + images.shape[1:]))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, y):
-        def loss_fn(p):
-            logits = model.apply(p, x)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     n = len(images)
-    order_rng = np.random.default_rng(seed)
+    n_batches = max(n // batch_size, 1)
+    usable = n_batches * min(batch_size, n)
+    order = np.random.default_rng(seed).permutation(n)[:usable]
+    x_dev = jnp.asarray(images[order]).reshape(
+        n_batches, -1, *images.shape[1:])
+    y_dev = jnp.asarray(labels[order]).reshape(n_batches, -1)
+
+    @jax.jit
+    def epoch_fn(params, opt_state):
+        def body(carry, xy):
+            params, opt_state = carry
+            x, y = xy
+
+            def loss_fn(p):
+                logits = model.apply(p, x)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (x_dev, y_dev))
+        return params, opt_state, jnp.mean(losses)
+
     for epoch in range(epochs):
-        order = order_rng.permutation(n)
-        losses = []
-        for b in range(max(n // batch_size, 1)):
-            idx = order[b * batch_size:(b + 1) * batch_size]
-            params, opt_state, loss = step(params, opt_state,
-                                           jnp.asarray(images[idx]),
-                                           jnp.asarray(labels[idx]))
-            losses.append(float(loss))
+        params, opt_state, loss = epoch_fn(params, opt_state)
         if log_fn:
-            log_fn(f"classifier epoch {epoch}: loss={np.mean(losses):.4f}")
+            log_fn(f"classifier epoch {epoch}: loss={float(loss):.4f}")
     return params
 
 
