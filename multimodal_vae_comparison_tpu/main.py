@@ -42,12 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(config, enable_viz: bool = True):
-    """Train one model from a parsed Config (reference main.py:41-54)."""
+def main(config, enable_viz: bool = True, trainer=None):
+    """Train one model from a parsed Config (reference main.py:41-54).
+
+    Pass an existing ``trainer`` to reuse its compiled executables for a new
+    seed (iterseeds path).
+    """
     from multimodal_vae_comparison_tpu.training.trainer import Trainer
 
-    trainer = Trainer(config, enable_viz=enable_viz)
-    trainer.init_state()
+    if trainer is None:
+        trainer = Trainer(config, enable_viz=enable_viz)
+        trainer.init_state()
     print(f"Model: {type(trainer.model).__name__}, "
           f"params: {trainer.n_params():,}, "
           f"devices: {len(trainer.mesh.devices.flat)}")
@@ -91,18 +96,24 @@ def cli(argv=None):
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("cfg", "no_viz", "profile", "debug_nans")}
     config = Config(args.cfg, overrides=overrides)
-    # multi-seed iteration (reference main.py:56-67)
+    # multi-seed iteration (reference main.py:56-67); the trainer (and its
+    # compiled executables) is reused across seeds
+    trainer = None
+    base_seed = config.seed
     for it in range(int(getattr(config, "iterseeds", 1))):
         print(f"### Training model {it + 1}/{config.iterseeds} "
               f"(seed {config.seed})")
-        main(config, enable_viz=not args.no_viz)
+        trainer = main(config, enable_viz=not args.no_viz, trainer=trainer)
         if args.profile:
             import jax
             jax.profiler.stop_trace()
             args.profile = None
         if it + 1 < config.iterseeds:
-            config = Config(args.cfg, overrides=overrides)
-            config.change_seed(config.seed + it + 1)
+            config.change_seed(base_seed + it + 1)
+            version_dir = __import__("os").path.join(
+                config.results_root, config.exp_name,
+                f"version_{config.find_version()}")
+            trainer.reset_for_seed(config.seed, mPath=version_dir)
 
 
 if __name__ == "__main__":

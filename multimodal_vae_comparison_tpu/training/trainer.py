@@ -208,6 +208,25 @@ class Trainer:
 
     # -- state ------------------------------------------------------------------
 
+    def reset_for_seed(self, seed: int, mPath: Optional[str] = None) -> None:
+        """Re-seed for an iterseeds run WITHOUT rebuilding the model: the
+        jitted train/eval executables are reused across seeds (a fresh
+        Trainer would recompile everything — minutes on remote-compile
+        setups).  Reshuffles the data, clears staged device caches and
+        re-initializes parameters."""
+        self.cfg.change_seed(seed)
+        if mPath is not None:
+            self.cfg.mPath = mPath
+            os.makedirs(os.path.join(mPath, "visuals"), exist_ok=True)
+            self.cfg.dump_config()
+            self.csv = CSVLogger(os.path.join(mPath, "metrics.csv"))
+        self.datamodule = DataModule(self.cfg)
+        self.datamodule.setup()
+        self._staged_epoch = None
+        self._staged_val = None
+        self.best_val = float("inf")
+        self.init_state()
+
     def init_state(self) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
         batch = next(self.datamodule.batches("train"))
