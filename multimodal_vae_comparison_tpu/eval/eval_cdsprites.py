@@ -17,7 +17,6 @@ Differences:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import statistics as stat
 from typing import Dict, List, Optional

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-import jax
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (

@@ -8,7 +8,7 @@ cross-/joint-generation APIs for the eval scripts.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

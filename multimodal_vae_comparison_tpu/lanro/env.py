@@ -7,7 +7,7 @@ success rewards — over the kinematic backend (simulation.py).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

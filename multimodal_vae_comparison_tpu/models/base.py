@@ -15,7 +15,7 @@ pytrees so nothing else carries state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,9 +25,9 @@ from flax import linen as nn
 from multimodal_vae_comparison_tpu.models import objectives
 from multimodal_vae_comparison_tpu.models.decoders import get_decoder
 from multimodal_vae_comparison_tpu.models.distributions import (
-    Laplace, Normal, get_dist, kl_divergence)
+    Normal, get_dist, kl_divergence)
 from multimodal_vae_comparison_tpu.models.encoders import get_encoder
-from multimodal_vae_comparison_tpu.models.output import ModalityOutput, VAEOutput
+from multimodal_vae_comparison_tpu.models.output import VAEOutput
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,7 +26,7 @@ from multimodal_vae_comparison_tpu.constants import DEC_SCALE, ETA
 from multimodal_vae_comparison_tpu.models import nets
 from multimodal_vae_comparison_tpu.models.nets import (
     AttentionResidualBlock, ConvTranspose2dTorch, Dtype, ResUp,
-    SamePadConvTranspose3d, TransformerDecoder, positional_encoding,
+    SamePadConvTranspose3d, positional_encoding,
 )
 
 

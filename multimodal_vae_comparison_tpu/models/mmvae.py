@@ -34,8 +34,7 @@ from multimodal_vae_comparison_tpu.models.distributions import (
     Normal, kl_divergence, log_mean_exp)
 from multimodal_vae_comparison_tpu.models.output import ModalityOutput, VAEOutput
 from multimodal_vae_comparison_tpu.ops.fusion import (
-    mixture_component_selection, poe_precision_fusion, product_of_experts,
-    subset_lattice)
+    mixture_component_selection, product_of_experts, subset_lattice)
 
 
 def _mask_of(batch, name):

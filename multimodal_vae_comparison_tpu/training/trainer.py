@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from multimodal_vae_comparison_tpu.models import get_mixing
 from multimodal_vae_comparison_tpu.models.base import build_specs
 from multimodal_vae_comparison_tpu.models.mmvae import UnimodalVAE
 from multimodal_vae_comparison_tpu.parallel.mesh import (
-    batch_sharding, make_mesh, replicated, shard_params)
+    batch_sharding, make_mesh, shard_params)
 from multimodal_vae_comparison_tpu.training.optim import make_optimizer
 
 

@@ -9,7 +9,7 @@ produces latents/reconstructions.  Artifacts land under
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
