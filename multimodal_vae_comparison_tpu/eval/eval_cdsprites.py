@@ -291,6 +291,11 @@ def _as_infer(obj):
             self.config = trainer.cfg
             self.datamod = trainer.datamodule
             self.model = trainer.model
+            if self.model.K != 1:   # generation is single-sample (see infer)
+                self.model = type(self.model)(
+                    specs=self.model.specs, n_latents=self.model.n_latents,
+                    obj=self.model.obj, beta=self.model.beta, K=1,
+                    dtype=self.model.dtype, remat=self.model.remat)
             self.params = trainer.state.params
             self.run_dir = trainer.cfg.mPath
         forward = MultimodalVAEInfer.forward

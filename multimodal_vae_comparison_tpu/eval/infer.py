@@ -37,6 +37,14 @@ class MultimodalVAEInfer:
         self.datamod = DataModule(self.config)
         self.datamod.setup()
         self.model = build_model(self.config)
+        # generation is always single-sample: a K>1 training objective (IWAE/
+        # DReG) would multiply the decode cost of every forward for nothing
+        # (and oversized programs can exceed remote-compile request limits)
+        if self.model.K != 1:
+            self.model = type(self.model)(
+                specs=self.model.specs, n_latents=self.model.n_latents,
+                obj=self.model.obj, beta=self.model.beta, K=1,
+                dtype=self.model.dtype, remat=self.model.remat)
         self.params = self._restore()
         self.level = getattr(self, "level", 1)
 
