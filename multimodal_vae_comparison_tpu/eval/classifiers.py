@@ -80,7 +80,9 @@ def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
     y_dev = jnp.asarray(labels[order]).reshape(n_batches, -1)
 
     @jax.jit
-    def epoch_fn(params, opt_state):
+    def epoch_fn(params, opt_state, xs, ys):
+        # data arrives as arguments — closing over it would bake hundreds of
+        # MB of constants into the program (oversized-compile failures)
         def body(carry, xy):
             params, opt_state = carry
             x, y = xy
@@ -95,11 +97,11 @@ def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (x_dev, y_dev))
+            body, (params, opt_state), (xs, ys))
         return params, opt_state, jnp.mean(losses)
 
     for epoch in range(epochs):
-        params, opt_state, loss = epoch_fn(params, opt_state)
+        params, opt_state, loss = epoch_fn(params, opt_state, x_dev, y_dev)
         if log_fn:
             log_fn(f"classifier epoch {epoch}: loss={float(loss):.4f}")
     return params
