@@ -31,6 +31,9 @@ LATENTS = 16
 
 def bench_jax() -> float:
     import jax
+
+    from multimodal_vae_comparison_tpu.main import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import optax
 
