@@ -55,6 +55,8 @@ _TOP_DEFAULTS = {
     "scan_epochs": None,
     "ckpt_freq": 1,
     "remat": False,
+    # restart from this run dir's own last checkpoint if present
+    "resume": False,
 }
 
 

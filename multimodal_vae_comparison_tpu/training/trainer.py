@@ -232,12 +232,18 @@ class Trainer:
         batch = next(self.datamodule.batches("train"))
         params = self.model.init({"params": rng, "sample": rng}, batch,
                                  method=self.model.objective)
+        start_step = 0
         if getattr(self.cfg, "pre_trained", None):
             params = self.restore_params(self.cfg.pre_trained, params)
+        elif (getattr(self.cfg, "resume", False) and self.cfg.mPath
+              and os.path.isdir(self._ckpt_dir("last"))):
+            # preemption recovery: restart from this run's own last checkpoint
+            params, start_step = self.restore_params(
+                self.cfg.mPath, params, with_step=True)
         params = shard_params(params, self.mesh)
         opt_state = shard_params(self.tx.init(params), self.mesh)
         self.state = TrainState(params=params, opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32))
+                                step=jnp.asarray(start_step, jnp.int32))
         return self.state
 
     def n_params(self) -> int:
@@ -259,7 +265,7 @@ class Trainer:
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
 
-    def restore_params(self, path: str, abstract_params):
+    def restore_params(self, path: str, abstract_params, with_step=False):
         import orbax.checkpoint as ocp
         if os.path.isdir(os.path.join(path, "model", "last")):
             path = os.path.join(path, "model", "last")
@@ -267,6 +273,8 @@ class Trainer:
         target = {"params": jax.device_get(abstract_params),
                   "step": np.zeros((), np.int32)}
         restored = ckptr.restore(os.path.abspath(path), target)
+        if with_step:
+            return restored["params"], int(restored["step"])
         return restored["params"]
 
     # -- loops ------------------------------------------------------------------
@@ -397,7 +405,10 @@ class Trainer:
         history = {}
         scan = self.use_scan()
         ckpt_freq = int(getattr(self.cfg, "ckpt_freq", 1) or 1)
-        for epoch in range(epochs):
+        # when resumed from a checkpoint, skip the epochs already trained
+        start_epoch = int(self.state.step) // max(
+            self.datamodule.steps_per_epoch(), 1)
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_metrics = (self.run_epoch_scan(epoch) if scan
                              else self.run_epoch(epoch))

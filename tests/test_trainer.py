@@ -130,3 +130,28 @@ def test_scan_epoch_matches_loop_epoch(tmp_path):
                     jax.tree_util.tree_leaves(t2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_resume_from_own_checkpoint(tmp_path):
+    """Preemption recovery: resume: true restarts from the run's own last
+    checkpoint and skips completed epochs."""
+    import jax
+
+    cfg = synthetic_cfg(tmp_path, exp_name="res")
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=2, log_fn=None)
+    step_after = int(trainer.state.step)
+    assert step_after > 0
+
+    cfg2 = synthetic_cfg(tmp_path, exp_name="res2")
+    cfg2.resume = True
+    cfg2.mPath = cfg.mPath  # same run dir (as after a preemption restart)
+    trainer2 = Trainer(cfg2, enable_viz=False)
+    trainer2.init_state()
+    assert int(trainer2.state.step) == step_after
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # fit with the same total epochs is a no-op (all epochs already done)
+    trainer2.fit(epochs=2, log_fn=None)
+    assert int(trainer2.state.step) == step_after
