@@ -93,3 +93,22 @@ def test_flash_attention_no_mask():
     want = dot_product_attention(q, k, v, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sample_kernel_statistics_and_grads(monkeypatch):
+    from multimodal_vae_comparison_tpu.ops.pallas import sample_kernel
+    monkeypatch.setattr(sample_kernel, "_INTERPRET", True)
+    mu = jnp.full((64, 128), 2.0)
+    scale = jnp.full((64, 128), 0.5)
+    z = sample_kernel.sample_normal_fused(mu, scale, jnp.asarray(7, jnp.int32))
+    assert z.shape == mu.shape
+    got_mean, got_std = float(z.mean()), float(z.std())
+    assert abs(got_mean - 2.0) < 0.05, got_mean
+    assert abs(got_std - 0.5) < 0.05, got_std
+    # reparameterization gradients: dz/dmu = 1, dz/dscale = eps
+    g_mu, g_scale = jax.grad(
+        lambda m, s: sample_kernel.sample_normal_fused(
+            m, s, jnp.asarray(7, jnp.int32)).sum(), argnums=(0, 1))(mu, scale)
+    np.testing.assert_allclose(np.asarray(g_mu), 1.0)
+    eps = (np.asarray(z) - 2.0) / 0.5
+    np.testing.assert_allclose(np.asarray(g_scale), eps, rtol=1e-4, atol=1e-5)
