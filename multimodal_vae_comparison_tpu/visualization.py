@@ -45,6 +45,19 @@ def _to_tiles(dataset, decoded, img_size) -> np.ndarray:
     return turn_text2image([str(x) for x in decoded], img_size)
 
 
+def save_video_gif(frames_batch: np.ndarray, path: str) -> None:
+    """Write a batch of video reconstructions as one animated GIF, frames
+    tiled horizontally per timestep (reference GIF recon writer,
+    datasets.py:601-614)."""
+    import imageio
+    frames_batch = np.asarray(frames_batch)
+    if frames_batch.dtype != np.uint8:
+        frames_batch = (np.clip(frames_batch, 0, 1) * 255).astype(np.uint8)
+    t = frames_batch.shape[1]
+    frames = [np.hstack(list(frames_batch[:, i])) for i in range(t)]
+    imageio.mimsave(path, frames, duration=0.15)
+
+
 def save_grid(rows: List[np.ndarray], path: str) -> None:
     import cv2
     h = max(r.shape[1] for r in rows)
@@ -76,6 +89,9 @@ def save_reconstructions(trainer, epoch_dir: str, n: int = 8) -> None:
                 continue
             recon = np.asarray(mo.decoder_dist.mean[0])
             decoded = ds.decode_output(recon, batch[nm].get("masks"))
+            if isinstance(decoded, np.ndarray) and decoded.ndim == 5:
+                save_video_gif(decoded[:4], os.path.join(
+                    epoch_dir, f"recon_video_{nm}.gif"))
             rows.append(_to_tiles(ds, decoded, ds.text2img_size))
             gt = ds.decode_output(np.asarray(batch[nm]["data"]),
                                   batch[nm].get("masks"))
