@@ -116,14 +116,19 @@ class MultiHeadAttention(nn.Module):
         q = dense("query")(q_in).transpose(0, 2, 1, 3)
         k = dense("key")(kv_in).transpose(0, 2, 1, 3)
         v = dense("value")(kv_in).transpose(0, 2, 1, 3)
+        out = None
         if os.environ.get("MMVAE_TPU_FLASH_ATTN") == "1":
             # opt-in Pallas flash-attention kernel (ops/pallas/attention.py);
             # key-padding masks come in as an additive (B, 1, 1, Tk) bias
-            from multimodal_vae_comparison_tpu.ops.pallas.attention import (
-                masked_flash_attention)
-            key_mask = None if mask_bias is None else mask_bias[:, 0, 0, :] >= -1.0
-            out = masked_flash_attention(q, k, v, key_mask).astype(self.dtype)
-        else:
+            try:
+                from multimodal_vae_comparison_tpu.ops.pallas.attention import (
+                    masked_flash_attention)
+                key_mask = (None if mask_bias is None
+                            else mask_bias[:, 0, 0, :] >= -1.0)
+                out = masked_flash_attention(q, k, v, key_mask).astype(self.dtype)
+            except Exception:   # non-TPU backends fall back to fused XLA
+                out = None
+        if out is None:
             out = dot_product_attention(q, k, v, mask_bias, dtype=self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(q_in.shape[:-1] + (d_model,))
         return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
