@@ -110,3 +110,25 @@ def test_classifier_trains_to_high_accuracy(tmp_path):
     params = train_classifier(model, imgs, y, epochs=8, batch_size=30)
     acc = classifier_accuracy(model, params, imgs, y)
     assert acc > 0.9, f"classifier failed to learn: acc={acc}"
+
+
+def test_infer_uses_k1_model(run):
+    """K>1 training objectives must not inflate inference decode cost
+    (oversized programs also exceeded remote-compile limits)."""
+    tmp, cfg, trainer = run
+    import yaml
+    # fake a K=10 config in a copy of the run dir
+    import shutil
+    dst = str(tmp / "k10run")
+    shutil.copytree(cfg.mPath, dst)
+    params = yaml.safe_load(open(os.path.join(dst, "config.yml")))
+    params["K"] = 10
+    params["obj"] = "iwae"
+    yaml.dump(params, open(os.path.join(dst, "config.yml"), "w"))
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+    exp = MultimodalVAEInfer(dst)
+    assert exp.model.K == 1
+    batch, _ = exp.get_test_samples(2)
+    recs = exp.cross_generate("mod_2", batch["mod_2"]["data"],
+                              batch["mod_2"]["masks"])
+    assert recs["mod_1"].shape[0] == 2
