@@ -59,10 +59,17 @@ class MultimodalVAEInfer:
         if not os.path.isdir(ckpt):
             ckpt = os.path.join(self.run_dir, "model", "best")
         assert os.path.isdir(ckpt), f"no checkpoint at {ckpt}"
-        ckptr = ocp.StandardCheckpointer()
-        target = {"params": jax.device_get(abstract),
-                  "step": np.zeros((), np.int32)}
-        return ckptr.restore(os.path.abspath(ckpt), target)["params"]
+        # raw restore + treedef rebuild: tolerant of both param-only (round-1)
+        # and full-state (params/opt_state/step/best_val) checkpoint layouts
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+        ref = jax.device_get(abstract)
+        flat_ref, treedef = jax.tree_util.tree_flatten(ref)
+        flat_raw = jax.tree_util.tree_leaves(raw["params"])
+        assert len(flat_ref) == len(flat_raw), (
+            f"checkpoint param count {len(flat_raw)} != model {len(flat_ref)}")
+        return jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(g, dtype=np.asarray(r).dtype)
+                      for r, g in zip(flat_ref, flat_raw)])
 
     # -- generation APIs ----------------------------------------------------------
 

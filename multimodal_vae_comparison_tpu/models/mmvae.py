@@ -81,10 +81,9 @@ class MOE(MMVAE):
 
     def objective(self, batch):
         present = self.mod_names
-        out = self.forward(batch, present)
         if self.obj in ("elbo", "elbo_iw"):
-            return self._objective_elbo(batch, out)
-        return self._objective_kweighted(batch, out)
+            return self._objective_elbo(batch, self.forward(batch, present))
+        return self._objective_kweighted(batch)
 
     def _objective_elbo(self, batch, out: VAEOutput):
         """Canonical MMVAE mixture ELBO (m_elbo_naive of
@@ -128,11 +127,26 @@ class MOE(MMVAE):
                                            for k, v in rec_per_mod.items()}}
         return loss, metrics
 
-    def _objective_kweighted(self, batch, out: VAEOutput):
+    def _objective_kweighted(self, batch):
         """IWAE / DReG K-sample bounds, looser multimodal variant
-        (reference objectives.py:342-387)."""
+        (reference objectives.py:342-387).
+
+        All likelihood terms — lpz, lqz AND every decoder reconstruction —
+        are computed from the latents handed to ``log_weights``, so when the
+        DReG pass re-runs it on scale_grad-wrapped latents the reconstruction
+        path's z-gradients pick up the importance-weight rescaling too
+        (reference ``zss.register_hook`` rescales *every* path through zss).
+        The first, unscaled pass feeds only the stop-gradient weights, so XLA
+        CSEs its decodes against the scaled pass (identical primal values).
+        """
         dreg = self.obj == "dreg"
         pz = self.pz()
+        qz_params = self.encode(batch, self.mod_names)
+        qzs, zs = {}, {}
+        for spec in self.specs:
+            qz, z = self.sample_posterior(spec, qz_params[spec.name]["shared"],
+                                          self.make_rng("sample"))
+            qzs[spec.name], zs[spec.name] = qz, z
         rec_per_mod = {}
 
         def log_weights(zs_dict):
@@ -142,24 +156,22 @@ class MOE(MMVAE):
                 lpz = pz.log_prob(z_r).sum(-1)
                 q_terms = []
                 for other in self.mod_names:
-                    q = out.mods[other].encoder_dist
+                    q = qzs[other]
                     if dreg:
                         q = jax.tree_util.tree_map(jax.lax.stop_gradient, q)
                     q_terms.append(q.log_prob(z_r).sum(-1))
                 lqz = log_mean_exp(jnp.stack(q_terms), axis=0)
-                lpx = self.recon_lpx(spec, out.mods[spec.name].decoder_dist, batch)
-                rec_per_mod[spec.name] = -jnp.sum(lpx)
-                # likelihood of *all* modalities under z_r: own + crosses
-                lpx_all = lpx
+                # decode *all* modalities from z_r: own + crosses
+                lpx_all = None
                 for tgt in self.mod_names:
-                    if tgt != spec.name:
-                        cross = out.mods[tgt].cross_decoder_dist.get(spec.name)
-                        if cross is not None:
-                            lpx_all = lpx_all + self.recon_lpx(self.spec(tgt), cross, batch)
+                    dec = self.decode_mod(tgt, z_r, _mask_of(batch, tgt))
+                    lpx_t = self.recon_lpx(self.spec(tgt), dec, batch)
+                    if tgt == spec.name:
+                        rec_per_mod[spec.name] = -jnp.sum(lpx_t)
+                    lpx_all = lpx_t if lpx_all is None else lpx_all + lpx_t
                 lws.append(lpz + lpx_all - self.beta * lqz)
             return jnp.stack(lws)                             # (M, K, B)
 
-        zs = {name: out.mods[name].latents for name in self.mod_names}
         lw = log_weights(zs)
         if not dreg:
             loss = -jnp.sum(log_mean_exp(lw.reshape(-1, lw.shape[-1]), axis=0))
@@ -446,12 +458,27 @@ class UnimodalVAE(MMVAE):
             kld = self.kld_std(spec, mo.encoder_dist)
             loss = objectives.elbo(lpx, kld, self.beta)
             kld_m = jnp.sum(kld)
+        elif self.obj == "dreg":
+            # proper DReG: stop-gradient encoder params in lqz, and rescale
+            # every z-path gradient (incl. the decoder's) by the stop-grad
+            # softmax weights via scale_grad + re-decode.
+            pz = self.pz()
+            z = mo.latents
+            q_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, mo.encoder_dist)
+            lw = pz.log_prob(z).sum(-1) + lpx - q_sg.log_prob(z).sum(-1)
+            w = objectives.dreg_grad_weights(lw)              # (K, B)
+            z_s = objectives.scale_grad(z, w[..., None])
+            dec_s = self.decode_mod(spec.name, z_s, _mask_of(batch, spec.name))
+            lpx_s = self.recon_lpx(spec, dec_s, batch)
+            lw_s = pz.log_prob(z_s).sum(-1) + lpx_s - q_sg.log_prob(z_s).sum(-1)
+            loss = objectives.dreg(lw_s)
+            kld_m = jnp.zeros(())
         else:
             pz = self.pz()
             lqz = mo.encoder_dist.log_prob(mo.latents).sum(-1)
             lpz = pz.log_prob(mo.latents).sum(-1)
             lw = lpz + lpx - lqz
-            loss = objectives.dreg(lw) if self.obj == "dreg" else objectives.iwae(lw)
+            loss = objectives.iwae(lw)
             kld_m = jnp.zeros(())
         metrics = {"kld": kld_m,
                    f"reconstruction_loss_{spec.name}": -jnp.sum(lpx)}

@@ -106,7 +106,14 @@ def optimal_sigma(dist, target, mask=None, batch_ndims=1):
     """Gaussian NLL with per-batch optimal (analytic) sigma — sigma-VAE."""
     err2 = jnp.square(target - dist.mean)
     err2 = _apply_mask(err2, mask, batch_ndims)
-    log_sigma = 0.5 * jnp.log(jnp.mean(err2) + 1e-12)
+    if mask is None:
+        mean_err2 = jnp.mean(err2)
+    else:
+        # mean over *valid* positions only — the raw mean counts mask-zeroed
+        # padding in the denominator and biases sigma low.
+        valid = _apply_mask(jnp.ones_like(err2), mask, batch_ndims)
+        mean_err2 = jnp.sum(err2) / jnp.maximum(jnp.sum(valid), 1.0)
+    log_sigma = 0.5 * jnp.log(mean_err2 + 1e-12)
     log_sigma = softclip(log_sigma, -6.0)
     ll = -(0.5 * err2 / jnp.exp(2.0 * log_sigma) + log_sigma + 0.5 * LOG2PI)
     ll = _apply_mask(ll, mask, batch_ndims)

@@ -85,7 +85,7 @@ def make_train_step(model, tx):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_epoch_runner(model, tx):
+def make_epoch_runner(model, tx, reshuffle: bool = True):
     """Whole-epoch lax.scan runner: ONE dispatch per epoch.
 
     The datasets here fit in HBM (largest is a few GB), so the fastest
@@ -113,6 +113,21 @@ def make_epoch_runner(model, tx):
                           step=state.step + 1), metrics
 
     def epoch_fn(state, epoch_data, rng):
+        # fresh sample order every epoch: permute the staged samples on
+        # device (flatten batches -> gather -> re-batch), like the
+        # reference's shuffling DataLoader but without any host round trip.
+        if reshuffle:
+            perm_rng, rng = jax.random.split(rng)
+            leaf = jax.tree_util.tree_leaves(epoch_data)[0]
+            perm = jax.random.permutation(perm_rng,
+                                          leaf.shape[0] * leaf.shape[1])
+
+            def permute(x):
+                flat = x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+                return jnp.take(flat, perm, axis=0).reshape(x.shape)
+
+            epoch_data = jax.tree_util.tree_map(permute, epoch_data)
+
         def body(state, batch):
             return train_step(state, batch, rng)
 
@@ -188,7 +203,9 @@ class Trainer:
         self.tx = make_optimizer(cfg.optimizer, cfg.lr)
         self.train_step = make_train_step(self.model, self.tx)
         self.eval_step = make_eval_step(self.model)
-        self.epoch_runner = make_epoch_runner(self.model, self.tx)
+        self.epoch_runner = make_epoch_runner(
+            self.model, self.tx,
+            reshuffle=bool(getattr(cfg, "reshuffle", True)))
         self.eval_runner = make_eval_runner(self.model)
         self._staged_epoch = None
         self._staged_val = None
@@ -233,15 +250,19 @@ class Trainer:
         params = self.model.init({"params": rng, "sample": rng}, batch,
                                  method=self.model.objective)
         start_step = 0
+        opt_state = None
         if getattr(self.cfg, "pre_trained", None):
             params = self.restore_params(self.cfg.pre_trained, params)
         elif (getattr(self.cfg, "resume", False) and self.cfg.mPath
               and os.path.isdir(self._ckpt_dir("last"))):
             # preemption recovery: restart from this run's own last checkpoint
-            params, start_step = self.restore_params(
-                self.cfg.mPath, params, with_step=True)
+            # with the FULL state — Adam moments and best-val included, so
+            # post-resume dynamics match an uninterrupted run.
+            params, opt_state, start_step, self.best_val = self.restore_state(
+                self.cfg.mPath, params)
         params = shard_params(params, self.mesh)
-        opt_state = shard_params(self.tx.init(params), self.mesh)
+        opt_state = shard_params(
+            self.tx.init(params) if opt_state is None else opt_state, self.mesh)
         self.state = TrainState(params=params, opt_state=opt_state,
                                 step=jnp.asarray(start_step, jnp.int32))
         return self.state
@@ -261,21 +282,59 @@ class Trainer:
         path = self._ckpt_dir(tag)
         ckptr = ocp.StandardCheckpointer()
         state = jax.device_get({"params": self.state.params,
-                                "step": self.state.step})
+                                "opt_state": self.state.opt_state,
+                                "step": self.state.step,
+                                "best_val": np.asarray(self.best_val,
+                                                       np.float32)})
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
 
-    def restore_params(self, path: str, abstract_params, with_step=False):
-        import orbax.checkpoint as ocp
+    @staticmethod
+    def _resolve_ckpt(path: str) -> str:
         if os.path.isdir(os.path.join(path, "model", "last")):
             path = os.path.join(path, "model", "last")
-        ckptr = ocp.StandardCheckpointer()
-        target = {"params": jax.device_get(abstract_params),
-                  "step": np.zeros((), np.int32)}
-        restored = ckptr.restore(os.path.abspath(path), target)
+        return os.path.abspath(path)
+
+    def restore_params(self, path: str, abstract_params, with_step=False):
+        """Params-only restore (the ``pre_trained`` weight-reuse path)."""
+        import orbax.checkpoint as ocp
+        path = self._resolve_ckpt(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(path)
+        # rebuild with the model's own treedef (robust to dict/FrozenDict and
+        # to checkpoints that carry extra top-level keys like opt_state)
+        ref = jax.device_get(abstract_params)
+        flat_ref, treedef = jax.tree_util.tree_flatten(ref)
+        flat_raw = jax.tree_util.tree_leaves(raw["params"])
+        assert len(flat_ref) == len(flat_raw), (
+            f"checkpoint param count {len(flat_raw)} != model {len(flat_ref)}")
+        params = jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(g, dtype=np.asarray(r).dtype)
+                      for r, g in zip(flat_ref, flat_raw)])
         if with_step:
-            return restored["params"], int(restored["step"])
-        return restored["params"]
+            return params, int(np.asarray(raw["step"]))
+        return params
+
+    def restore_state(self, path: str, abstract_params):
+        """Full-state restore for preemption recovery: params, optimizer
+        moments, step, and the best-val watermark.  Falls back to
+        params+step for checkpoints written before opt_state was saved."""
+        import orbax.checkpoint as ocp
+        path = self._resolve_ckpt(path)
+        host_params = jax.device_get(abstract_params)
+        target = {"params": host_params,
+                  "opt_state": jax.device_get(self.tx.init(host_params)),
+                  "step": np.zeros((), np.int32),
+                  "best_val": np.zeros((), np.float32)}
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            r = ckptr.restore(path, target)
+            return (r["params"], r["opt_state"], int(r["step"]),
+                    float(r["best_val"]))
+        except Exception:
+            params, step = self.restore_params(path, abstract_params,
+                                               with_step=True)
+            return params, None, step, float("inf")
 
     # -- loops ------------------------------------------------------------------
 
@@ -372,8 +431,10 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         agg, count = {}, 0
         it = prefetch_to_device(
-            self.datamodule.batches("train"), sharding,
-            size=getattr(self.cfg, "prefetch", 2))
+            self.datamodule.batches(
+                "train", shuffle=bool(getattr(self.cfg, "reshuffle", True)),
+                seed=self.cfg.seed * 100003 + epoch),
+            sharding, size=getattr(self.cfg, "prefetch", 2))
         for batch in it:
             self.state, metrics = self.train_step(self.state, batch, rng)
             count += 1
@@ -427,10 +488,14 @@ class Trainer:
                 log_fn(f"epoch {epoch}: {msg}")
             if self.cfg.mPath and ((epoch + 1) % ckpt_freq == 0
                                    or epoch + 1 == epochs):
-                self.save_checkpoint("last")
+                # update the watermark BEFORE writing "last" so the
+                # checkpointed best_val reflects this epoch
                 val_loss = val_metrics.get("val_loss", float("inf"))
-                if val_loss < self.best_val:
+                improved = val_loss < self.best_val
+                if improved:
                     self.best_val = val_loss
+                self.save_checkpoint("last")
+                if improved:
                     self.save_checkpoint("best")
             if (self.enable_viz and self.cfg.mPath
                     and (epoch + 1) % max(int(self.cfg.viz_freq), 1) == 0):

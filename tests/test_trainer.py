@@ -111,13 +111,17 @@ def test_scan_epoch_matches_loop_epoch(tmp_path):
     import jax
     import jax.numpy as jnp
 
-    cfg = synthetic_cfg(tmp_path, exp_name="scan", optimizer="sgd", lr=1e-4)
+    # reshuffle off: the equivalence requires identical batch order, and the
+    # two paths use different shuffle sources (numpy rng vs on-device perm)
+    cfg = synthetic_cfg(tmp_path, exp_name="scan", optimizer="sgd", lr=1e-4,
+                        reshuffle=False)
     t1 = Trainer(cfg, enable_viz=False)
     t1.init_state()
     params0 = jax.tree_util.tree_map(jnp.array, t1.state.params)
     m_loop = t1.run_epoch(0)
 
-    cfg2 = synthetic_cfg(tmp_path, exp_name="scan2", optimizer="sgd", lr=1e-4)
+    cfg2 = synthetic_cfg(tmp_path, exp_name="scan2", optimizer="sgd", lr=1e-4,
+                         reshuffle=False)
     t2 = Trainer(cfg2, enable_viz=False)
     t2.init_state()
     t2.state = t2.state.replace(params=params0)
@@ -152,6 +156,12 @@ def test_resume_from_own_checkpoint(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
                     jax.tree_util.tree_leaves(trainer2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # full-state recovery: optimizer moments and the best-val watermark come
+    # back too, so post-resume dynamics match an uninterrupted run
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.opt_state),
+                    jax.tree_util.tree_leaves(trainer2.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert trainer2.best_val == trainer.best_val
     # fit with the same total epochs is a no-op (all epochs already done)
     trainer2.fit(epochs=2, log_fn=None)
     assert int(trainer2.state.step) == step_after
