@@ -5,9 +5,10 @@ Re-design of the reference FID pipeline (multimodal_compare/eval/fid_score.py,
 (mean/cov + matrix sqrt) is identical; the feature extractor is pluggable
 because the pretrained InceptionV3 weights aren't available offline:
 
-* default: the fixed random VGG19-topology features (models/nets.VGGFeatures)
-  — random projections still give a meaningful relative FID for model
-  comparison (documented caveat: absolute values aren't comparable to
+* default: VGG19-topology features (models/nets.VGGFeatures) — pretrained
+  torchvision vgg19 weights when installed via eval/weights.py, otherwise
+  fixed random projections, which still give a meaningful relative FID for
+  model comparison (documented caveat: absolute values aren't comparable to
   Inception-FID numbers);
 * any trained classifier's penultimate activations can be passed instead.
 """
@@ -22,16 +23,15 @@ from scipy import linalg
 
 
 def default_feature_fn(seed: int = 0) -> Callable[[np.ndarray], np.ndarray]:
-    """Fixed random conv features (VGG19 topology)."""
+    """VGG19-topology conv features: converted torchvision weights when a
+    vgg19 checkpoint is installed (eval/weights.py), else fixed random."""
+    from multimodal_vae_comparison_tpu.models import perceptual
     from multimodal_vae_comparison_tpu.models.nets import VGGFeatures
     model = VGGFeatures()
-    params = None
+    params = perceptual.extractor_params()
 
     def fn(images: np.ndarray) -> np.ndarray:
-        nonlocal params
         x = jnp.asarray(images, jnp.float32)
-        if params is None:
-            params = model.init(jax.random.PRNGKey(seed), x[:1])
         feats = model.apply(params, x)[-1]
         return np.asarray(feats.mean(axis=(1, 2)))
 

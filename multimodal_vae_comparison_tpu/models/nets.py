@@ -53,6 +53,35 @@ class GroupNormMod(nn.Module):
         return nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm with stop-gradient running statistics.
+
+    The canonical TPU-friendly form of a pretrained torchvision trunk's
+    BatchNorm: normalization uses the *stored* running mean/var (so converted
+    ImageNet weights reproduce eval-mode behavior exactly, see
+    eval/weights.py), scale/bias stay trainable for fine-tuning, and the
+    stats live in the ordinary params tree but are stop-gradiented so no
+    optimizer ever moves them.  At random init (mean 0, var 1) it reduces to
+    a learnable affine.
+    """
+
+    dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jax.lax.stop_gradient(
+            self.param("mean", nn.initializers.zeros, (c,)))
+        var = jax.lax.stop_gradient(
+            self.param("var", nn.initializers.ones, (c,)))
+        inv = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+        return x * inv + (bias - mean * scale
+                          * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+
+
 def positional_encoding(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """Sinusoidal positional encoding table of shape (length, dim)."""
     pos = jnp.arange(length, dtype=jnp.float32)[:, None]
@@ -362,7 +391,10 @@ class BottleneckBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: GroupNormMod(dtype=self.dtype)
+        # FrozenBatchNorm so torchvision's BN running stats install 1:1
+        # (eval/weights.py); module order matches torchvision's
+        # conv1/bn1/conv2/bn2/conv3/bn3/downsample naming for conversion.
+        norm = lambda: FrozenBatchNorm(dtype=self.dtype)
         residual = x
         h = nn.Conv(self.features, (1, 1), dtype=self.dtype, use_bias=False)(x)
         h = nn.relu(norm()(h))
@@ -394,7 +426,7 @@ class ResNet50(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
                     use_bias=False)(x)
-        h = group_norm(h, dtype=self.dtype)
+        h = FrozenBatchNorm(dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
@@ -546,13 +578,18 @@ class VGGFeatures(nn.Module):
     cfg: Sequence[Any] = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M")
 
     @nn.compact
-    def __call__(self, x):
-        feats = []
+    def __call__(self, x, taps: str = "pool"):
+        """taps='pool': one feature map per max-pool stage (FID path);
+        taps='conv': every conv's pre-activation output (the feature_loss
+        accumulation points, reference nn_modules.py:1108-1152)."""
+        pool_feats, conv_feats = [], []
         h = x
         for v in self.cfg:
             if v == "M":
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
-                feats.append(h)
+                pool_feats.append(h)
             else:
-                h = nn.relu(nn.Conv(v, (3, 3), padding=1, dtype=self.dtype)(h))
-        return feats
+                h = nn.Conv(v, (3, 3), padding=1, dtype=self.dtype)(h)
+                conv_feats.append(h)
+                h = nn.relu(h)
+        return conv_feats if taps == "conv" else pool_feats

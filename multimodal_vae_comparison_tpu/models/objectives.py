@@ -120,6 +120,13 @@ def optimal_sigma(dist, target, mask=None, batch_ndims=1):
     return _flatten_features(ll, batch_ndims).sum(-1)
 
 
+def feature_loss(dist, target, mask=None, batch_ndims=1):
+    """VGG perceptual loss (reference objectives.py:461-483); the import is
+    deferred only to keep this module free of a flax dependency."""
+    from multimodal_vae_comparison_tpu.models import perceptual
+    return perceptual.feature_loss(dist, target, mask, batch_ndims)
+
+
 RECON_LOSSES = {
     "bce": bce,
     "lprob": lprob,
@@ -127,8 +134,7 @@ RECON_LOSSES = {
     "mse": mse,
     "category_ce": category_ce,
     "optimal_sigma": optimal_sigma,
-    # 'feature_loss' (VGG perceptual) is registered lazily by models/nets.py
-    # to avoid a hard dependency on the feature-extractor params.
+    "feature_loss": feature_loss,
 }
 
 

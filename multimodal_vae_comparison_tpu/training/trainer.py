@@ -249,6 +249,15 @@ class Trainer:
         batch = next(self.datamodule.batches("train"))
         params = self.model.init({"params": rng, "sample": rng}, batch,
                                  method=self.model.objective)
+        # opportunistic pretrained-trunk install (ImageNet ResNet-50 for
+        # Enc_CNN, like reference encoders.py:108-113); no-op without a
+        # weights dir — see eval/weights.py
+        try:
+            from multimodal_vae_comparison_tpu.eval.weights import (
+                install_pretrained)
+            params, _ = install_pretrained(params)
+        except Exception as e:
+            print(f"[weights] install skipped: {type(e).__name__}: {e}")
         start_step = 0
         opt_state = None
         if getattr(self.cfg, "pre_trained", None):
