@@ -29,7 +29,11 @@ from multimodal_vae_comparison_tpu.eval.classifiers import (
 from multimodal_vae_comparison_tpu.utils import (
     last_letter, listdirs, print_save_stats)
 
-# benchmark vocabulary (eval_cdsprites.py:19-37)
+# PROVENANCE: the vocabulary tables below and the positional index maps in
+# get_attribute_from_recon are the reference's metric contract
+# (multimodal_compare/eval/eval_cdsprites.py:19-37,100-151), kept verbatim by
+# necessity — re-deriving them differently would change the measured
+# benchmark numbers.
 COLORS = {"white": [255, 255, 255], "red": [192, 64, 0],
           "yellow": [228, 217, 111], "green": [10, 107, 60],
           "blue": [0, 127, 200], "pink": [255, 0, 255]}
