@@ -21,29 +21,87 @@ import numpy as np
 from multimodal_vae_comparison_tpu.lanro.env import LanroEnv, make
 
 
-def scripted_policy(env: LanroEnv) -> np.ndarray:
-    """One expert action: move toward the goal object; grasp/lift if needed."""
+def _push_toward(env: LanroEnv, goal, target_xy: np.ndarray,
+                 fine: bool = False) -> np.ndarray:
+    """Phased directional push: hover behind the object (relative to the
+    push direction), descend, then sweep it toward target_xy.  ``fine``
+    shrinks the sweep near the target (gentle taps for gliding pucks)."""
+    ee = env.sim.ee
+    to_t = np.asarray(target_xy) - goal.pos[:2]
+    d = float(np.linalg.norm(to_t))
+    dirn = to_t / (d + 1e-9)
+    behind = goal.pos[:2] - dirn * (goal.size + 0.03)
+    aligned = np.linalg.norm(ee[:2] - behind) < 0.015
+    near_obj = np.linalg.norm(ee[:2] - goal.pos[:2]) < goal.size + 0.05
+    if not aligned:
+        if ee[2] < 0.09 and near_obj:
+            # rise before repositioning so we don't shove the object sideways
+            delta = np.array([0.0, 0.0, 0.05])
+        else:
+            delta = np.array([behind[0] - ee[0], behind[1] - ee[1],
+                              0.11 - ee[2]])
+    elif ee[2] > 0.04:
+        delta = np.array([0.0, 0.0, 0.03 - ee[2]])
+    else:
+        step = 0.04 if (d > 0.12 or not fine) else max(d * 0.25, 0.006)
+        delta = np.array([dirn[0] * step, dirn[1] * step, 0.0])
+    step3 = np.clip(delta, -0.04, 0.04)
+    return np.array([step3[0], step3[1], step3[2], 1.0], np.float32)
+
+
+def _ee_policy(env: LanroEnv) -> np.ndarray:
+    """One expert EE action for any registered task."""
     goal = env.goal_object
     delta = goal.pos - env.sim.ee
     dist = np.linalg.norm(delta)
+    grip = 1.0
     if env.task == "reach":
-        grip = 1.0
+        pass
     elif env.task == "push":
         # approach slightly behind, then push through
-        grip = 1.0
         if dist < 0.06:
             delta = delta + delta / (dist + 1e-9) * 0.05
-    else:  # lift
+    elif env.task in ("left", "right"):
+        sign = -1.0 if env.task == "left" else 1.0
+        target_xy = env._initial_pos[:2] + np.array([sign * 0.12, 0.0])
+        return _push_toward(env, goal, target_xy)
+    elif env.task == "slide":
+        return _push_toward(env, goal, env.sim.target[:2], fine=True)
+    elif env.task == "stack":
+        base = env.sim.objects[env.base_idx]
+        drop = base.pos + np.array([0.0, 0.0, base.size + goal.size + 0.01])
+        if not goal.grasped:
+            grip = 1.0 if dist > 0.03 else -1.0
+        else:
+            above = np.linalg.norm(env.sim.ee[:2] - drop[:2]) < 0.02
+            delta = drop - env.sim.ee
+            grip = 1.0 if above and env.sim.ee[2] >= drop[2] - 0.01 else -1.0
+    else:  # lift / grasp
         if dist > 0.03 and not goal.grasped:
             grip = 1.0
         elif not goal.grasped:
             grip = -1.0
         else:
-            delta = np.array([0.0, 0.0, 0.15]) - env.sim.ee + goal.pos * 0
             delta = np.array([0.0, 0.0, 0.05])
             grip = -1.0
     step = np.clip(delta, -0.04, 0.04)
     return np.array([step[0], step[1], step[2], grip], np.float32)
+
+
+def scripted_policy(env: LanroEnv) -> np.ndarray:
+    """Expert action in the env's native action space.  For
+    ``relative_joints`` envs the Cartesian expert step is converted to joint
+    deltas through the arm's IK (the same controller hierarchy the reference
+    uses for scripted Panda demos)."""
+    ee_action = _ee_policy(env)
+    if env.action_type != "relative_joints":
+        return ee_action
+    from multimodal_vae_comparison_tpu.lanro.simulation import MAX_JOINT_STEP
+    sim = env.sim
+    target = sim.ee + ee_action[:3]
+    q_new = sim.arm.ik(sim.joints.copy(), target)
+    dq = np.clip((q_new - sim.joints) / MAX_JOINT_STEP, -1.0, 1.0)
+    return np.concatenate([dq, [ee_action[3]]]).astype(np.float32)
 
 
 def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,

@@ -1,16 +1,27 @@
 """Gym-style language-conditioned environments + registry.
 
 Mirrors the reference's gymnasium registration surface
-(lanro_gym/__init__.py:1-129): NLReach / NLPush / NLLift tasks with 2-3
-objects, natural-language goal instructions, dict observations and sparse
-success rewards — over the kinematic backend (simulation.py).
+(lanro_gym/__init__.py:1-129): the NL task family (NLReach / NLPush /
+NLLift / NLGrasp / NLLeft / NLRight, reference tasks/nl*.py) plus the
+goal-conditioned Slide and Stack tasks (tasks/slide.py, tasks/stack.py),
+over the kinematic backend (simulation.py) with an optional joint-space arm
+(arm.py).
+
+Two API surfaces:
+* ``LanroEnv`` — the compact 4-tuple ``step`` used throughout this repo;
+* ``GymnasiumEnv`` — gymnasium-signature wrapper (``reset(seed=...) ->
+  (obs, info)``, 5-tuple ``step``, ``action_space``/``observation_space``)
+  so reference code written against gymnasium ports over; a local ``spaces``
+  shim stands in because gymnasium isn't in this image.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import dataclasses
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from multimodal_vae_comparison_tpu.lanro.arm import NUM_DOF
 from multimodal_vae_comparison_tpu.lanro.simulation import (
     COLOR_MAP, KinematicSimulation, SHAPE_IDS)
 
@@ -18,28 +29,71 @@ INSTRUCTION_TEMPLATES = {
     "reach": ["reach the {color} {shape}", "touch the {color} {shape}"],
     "push": ["push the {color} {shape}", "move the {color} {shape}"],
     "lift": ["lift the {color} {shape}", "pick up the {color} {shape}"],
+    "grasp": ["grasp the {color} {shape}", "grab the {color} {shape}"],
+    "left": ["move the {color} {shape} to the left",
+             "push the {color} {shape} left"],
+    "right": ["move the {color} {shape} to the right",
+              "push the {color} {shape} right"],
+    "slide": ["slide the {color} {shape} to the target"],
+    "stack": ["stack the {color} {shape} on the {color2} {shape2}",
+              "put the {color} {shape} on the {color2} {shape2}"],
 }
+
+
+@dataclasses.dataclass(frozen=True)
+class Box:
+    """Minimal gymnasium.spaces.Box stand-in (gymnasium not in image)."""
+    low: np.ndarray
+    high: np.ndarray
+
+    @property
+    def shape(self):
+        return np.asarray(self.low).shape
+
+    def sample(self, rng=None):
+        rng = rng or np.random.default_rng()
+        return rng.uniform(self.low, self.high).astype(np.float32)
+
+    def contains(self, x) -> bool:
+        x = np.asarray(x)
+        return (x.shape == self.shape and (x >= self.low).all()
+                and (x <= self.high).all())
 
 
 class LanroEnv:
     """reset() -> obs dict; step(action) -> (obs, reward, done, info).
 
-    obs = {"rgb": (64, 64, 3) uint8, "instruction": str}
-    action = (dx, dy, dz, gripper) float32
+    obs = {"rgb": (64, 64, 3) uint8, "instruction": str, "ee", "gripper"}
+    action = (dx, dy, dz, gripper) float32, or 7 joint deltas + gripper when
+    ``action_type='relative_joints'`` (requires use_arm).
     """
 
     def __init__(self, task: str = "reach", num_objects: int = 2,
-                 max_steps: int = 100, seed: int = 0):
+                 max_steps: int = 100, seed: int = 0,
+                 use_arm: bool = False, action_type: str = "end_effector",
+                 reward_type: str = "sparse"):
         assert task in INSTRUCTION_TEMPLATES
+        assert action_type in ("end_effector", "relative_joints")
+        if action_type == "relative_joints":
+            use_arm = True
         self.task = task
-        self.num_objects = num_objects
+        self.num_objects = max(num_objects, 2 if task == "stack" else 1)
         self.max_steps = max_steps
-        self.sim = KinematicSimulation(seed)
+        self.action_type = action_type
+        self.reward_type = reward_type
+        friction = 0.05 if task == "slide" else 1.0
+        self.sim = KinematicSimulation(seed, use_arm=use_arm,
+                                       friction=friction)
         self.rng = np.random.default_rng(seed + 1)
         self.goal_idx = 0
+        self.base_idx = 0          # stack: the object to stack onto
         self.instruction = ""
         self._t = 0
         self._initial_pos = None
+
+    @property
+    def action_dim(self) -> int:
+        return (NUM_DOF + 1 if self.action_type == "relative_joints" else 4)
 
     # -- episode ---------------------------------------------------------------
 
@@ -47,25 +101,65 @@ class LanroEnv:
         self.sim.reset(self.num_objects)
         self.goal_idx = int(self.rng.integers(self.num_objects))
         goal = self.sim.objects[self.goal_idx]
-        template = INSTRUCTION_TEMPLATES[self.task][
-            self.rng.integers(len(INSTRUCTION_TEMPLATES[self.task]))]
-        self.instruction = template.format(color=goal.color, shape=goal.shape)
+        tmpl = INSTRUCTION_TEMPLATES[self.task]
+        template = tmpl[self.rng.integers(len(tmpl))]
+        if self.task == "stack":
+            others = [i for i in range(self.num_objects) if i != self.goal_idx]
+            self.base_idx = int(others[self.rng.integers(len(others))])
+            base = self.sim.objects[self.base_idx]
+            self.instruction = template.format(
+                color=goal.color, shape=goal.shape,
+                color2=base.color, shape2=base.shape)
+        else:
+            self.instruction = template.format(color=goal.color,
+                                               shape=goal.shape)
+        if self.task == "slide":
+            self.sim.sample_target()
         self._t = 0
         self._initial_pos = goal.pos.copy()
         return self._obs()
 
     def step(self, action) -> Tuple[Dict, float, bool, Dict]:
-        self.sim.step(np.asarray(action, np.float64))
+        action = np.asarray(action, np.float64)
+        assert action.shape[-1] == self.action_dim, (
+            f"task '{self.task}' ({self.action_type}) expects "
+            f"{self.action_dim}-dim actions, got {action.shape}")
+        if self.action_type == "relative_joints":
+            self.sim.joint_step(action)
+        else:
+            self.sim.step(action)
         self._t += 1
         success = self.is_success()
         done = success or self._t >= self.max_steps
-        return self._obs(), float(success), done, {"is_success": success}
+        return self._obs(), self.compute_reward(success), done, \
+            {"is_success": success}
+
+    def compute_reward(self, success: bool) -> float:
+        if self.reward_type == "sparse":
+            return float(success)
+        return -float(self._goal_distance())   # dense
 
     def _obs(self) -> Dict:
-        return {"rgb": self.sim.render(), "instruction": self.instruction,
-                "ee": self.sim.ee.copy(), "gripper": self.sim.gripper}
+        obs = {"rgb": self.sim.render(), "instruction": self.instruction,
+               "ee": self.sim.ee.copy(), "gripper": self.sim.gripper}
+        if self.sim.use_arm:
+            obs["joints"] = self.sim.joints.copy()
+        if self.sim.target is not None:
+            obs["target"] = self.sim.target.copy()
+        return obs
 
-    # -- success predicates (reference tasks/: reach/push/lift) -----------------
+    # -- success predicates (reference tasks/nl*.py, slide.py, stack.py) --------
+
+    def _goal_distance(self) -> float:
+        goal = self.sim.objects[self.goal_idx]
+        if self.task == "reach":
+            return float(np.linalg.norm(self.sim.ee - goal.pos))
+        if self.task == "slide":
+            return float(np.linalg.norm(goal.pos[:2] - self.sim.target[:2]))
+        if self.task == "stack":
+            base = self.sim.objects[self.base_idx]
+            return float(np.linalg.norm(goal.pos[:2] - base.pos[:2]))
+        return float(np.linalg.norm(self.sim.ee - goal.pos))
 
     def is_success(self) -> bool:
         goal = self.sim.objects[self.goal_idx]
@@ -74,28 +168,103 @@ class LanroEnv:
         if self.task == "push":
             moved = np.linalg.norm(goal.pos[:2] - self._initial_pos[:2])
             return bool(moved > 0.08)
-        # lift
-        return bool(goal.pos[2] > 0.10)
+        if self.task == "lift":
+            return bool(goal.pos[2] > 0.10)
+        if self.task == "grasp":
+            return bool(goal.grasped and goal.pos[2] > 0.05)
+        if self.task == "left":
+            return bool(self._initial_pos[0] - goal.pos[0] > 0.08)
+        if self.task == "right":
+            return bool(goal.pos[0] - self._initial_pos[0] > 0.08)
+        if self.task == "slide":
+            return bool(np.linalg.norm(
+                goal.pos[:2] - self.sim.target[:2]) < 0.05)
+        # stack: xy-aligned, resting on top, not held
+        base = self.sim.objects[self.base_idx]
+        aligned = np.linalg.norm(goal.pos[:2] - base.pos[:2]) < 0.05
+        on_top = abs(goal.pos[2] - (base.pos[2] + base.size + goal.size)) \
+            < 0.02
+        return bool(aligned and on_top and not goal.grasped)
 
     @property
     def goal_object(self):
         return self.sim.objects[self.goal_idx]
 
 
+class GymnasiumEnv:
+    """gymnasium-signature adapter over LanroEnv (reference envs are
+    gymnasium.Env subclasses registered in lanro_gym/__init__.py)."""
+
+    metadata = {"render_modes": ["rgb_array"]}
+
+    def __init__(self, **kwargs):
+        self._env = LanroEnv(**kwargs)
+        a = self._env.action_dim
+        self.action_space = Box(low=-np.ones(a, np.float32),
+                                high=np.ones(a, np.float32))
+        self.observation_space = {
+            "rgb": Box(low=np.zeros((64, 64, 3), np.float32),
+                       high=np.full((64, 64, 3), 255, np.float32)),
+        }
+
+    def reset(self, seed: Optional[int] = None, options=None):
+        if seed is not None:
+            self._env.rng = np.random.default_rng(seed + 1)
+            self._env.sim.rng = np.random.default_rng(seed)
+        obs = self._env.reset()
+        return obs, {}
+
+    def step(self, action):
+        obs, reward, done, info = self._env.step(action)
+        terminated = bool(info["is_success"])
+        truncated = bool(done and not terminated)
+        return obs, reward, terminated, truncated, info
+
+    def render(self):
+        return self._env.sim.render()
+
+    def close(self):
+        pass
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+
+def _nl(task, n, **kw):
+    return dict(task=task, num_objects=n, **kw)
+
+
 ENV_REGISTRY = {
-    "NLReach2-v0": dict(task="reach", num_objects=2),
-    "NLReach3-v0": dict(task="reach", num_objects=3),
-    "NLPush2-v0": dict(task="push", num_objects=2),
-    "NLPush3-v0": dict(task="push", num_objects=3),
-    "NLLift2-v0": dict(task="lift", num_objects=2),
-    "NLLift3-v0": dict(task="lift", num_objects=3),
+    # compact ids used throughout this repo
+    "NLReach2-v0": _nl("reach", 2), "NLReach3-v0": _nl("reach", 3),
+    "NLPush2-v0": _nl("push", 2), "NLPush3-v0": _nl("push", 3),
+    "NLLift2-v0": _nl("lift", 2), "NLLift3-v0": _nl("lift", 3),
+    "NLGrasp2-v0": _nl("grasp", 2), "NLGrasp3-v0": _nl("grasp", 3),
+    "NLLeft2-v0": _nl("left", 2), "NLLeft3-v0": _nl("left", 3),
+    "NLRight2-v0": _nl("right", 2), "NLRight3-v0": _nl("right", 3),
+    "Slide-v0": dict(task="slide", num_objects=1),
+    "Stack2-v0": _nl("stack", 2), "Stack3-v0": _nl("stack", 3),
 }
+# reference-style Panda ids (lanro_gym/__init__.py registrations) map to the
+# same tasks with the joint-space arm enabled
+for _task, _name in (("reach", "Reach"), ("push", "Push"), ("lift", "Lift"),
+                     ("grasp", "Grasp"), ("left", "Left"), ("right", "Right")):
+    for _n in (2, 3):
+        ENV_REGISTRY[f"PandaNL{_name}{_n}-v0"] = _nl(
+            _task, _n, use_arm=True, action_type="relative_joints")
+ENV_REGISTRY["PandaSlide-v0"] = dict(task="slide", num_objects=1,
+                                     use_arm=True,
+                                     action_type="relative_joints")
+for _n in (2, 3):
+    ENV_REGISTRY[f"PandaStack{_n}-v0"] = _nl(
+        "stack", _n, use_arm=True, action_type="relative_joints")
 
 
-def make(env_id: str, seed: int = 0, **kwargs) -> LanroEnv:
+def make(env_id: str, seed: int = 0, gymnasium_api: bool = False, **kwargs):
     if env_id not in ENV_REGISTRY:
         raise KeyError(f"unknown env '{env_id}'; available: "
                        f"{sorted(ENV_REGISTRY)}")
     params = dict(ENV_REGISTRY[env_id])
     params.update(kwargs)
-    return LanroEnv(seed=seed, **params)
+    cls = GymnasiumEnv if gymnasium_api else LanroEnv
+    return cls(seed=seed, **params)

@@ -2,19 +2,31 @@
 
 Replaces the reference's PyBulletSimulation/PyBulletRobot pair
 (lanro_gym/simulation.py:23, robots/pybrobot.py:17) with an analytic world:
-the end-effector integrates clamped velocity commands, grasping is
-proximity+gripper based, and the camera is a top-down cv2 rasterizer emitting
-the same 64x64x3 RGB observations the VILANRO dataset carries.
+
+* the end-effector either integrates clamped velocity commands directly or
+  tracks them through the 7-DoF joint-space arm (arm.py — the Panda
+  stand-in), with a ``relative_joints`` action mode like the reference;
+* objects carry planar velocity with per-world friction, so pushes displace
+  (high friction) or glide (low friction — the Slide task's pucks,
+  reference tasks/slide.py:36-44);
+* releasing a grasped object above another stacks it (reference
+  tasks/stack.py goal semantics);
+* the camera is a top-down cv2 rasterizer emitting the same 64x64x3 RGB
+  observations the VILANRO dataset carries.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
+from multimodal_vae_comparison_tpu.lanro.arm import (
+    ArmKinematics, JOINT_LIMITS, NEUTRAL_JOINT_VALUES, NUM_DOF)
+
 WORKSPACE = np.array([[-0.3, 0.3], [-0.3, 0.3], [0.0, 0.3]])  # x, y, z bounds
 MAX_STEP = 0.04          # max EE displacement per step (m)
+MAX_JOINT_STEP = 0.15    # max per-joint delta per step (rad)
 GRASP_RADIUS = 0.05      # proximity for a successful grasp
 
 SHAPE_IDS = ["cube", "cylinder", "sphere"]
@@ -30,23 +42,40 @@ class SceneObject:
     pos: np.ndarray           # (3,)
     size: float = 0.03
     grasped: bool = False
+    vel: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2))
 
 
 class KinematicSimulation:
-    def __init__(self, seed: int = 0):
+    """``use_arm=True`` routes EE motion through joint-space IK; ``friction``
+    in (0, 1] is the per-step planar velocity decay (1 = stops instantly)."""
+
+    def __init__(self, seed: int = 0, use_arm: bool = False,
+                 friction: float = 1.0):
         self.rng = np.random.default_rng(seed)
         self.objects: List[SceneObject] = []
+        self.use_arm = use_arm
+        self.friction = float(friction)
+        self.arm = ArmKinematics() if use_arm else None
+        self.joints = NEUTRAL_JOINT_VALUES.copy()
         self.ee = np.array([0.0, 0.0, 0.15])
         self.gripper = 1.0   # 1 = open, 0 = closed
+        self.target: Optional[np.ndarray] = None  # goal marker (slide)
 
     # -- world setup ------------------------------------------------------------
 
     def reset(self, num_objects: int = 2,
               colors: Optional[List[str]] = None,
               shapes: Optional[List[str]] = None) -> None:
-        self.ee = np.array([0.0, 0.0, 0.15])
         self.gripper = 1.0
         self.objects = []
+        self.target = None
+        if self.use_arm:
+            self.joints = NEUTRAL_JOINT_VALUES.copy()
+            self.joints = self.arm.ik(self.joints, np.array([0.0, 0.0, 0.15]))
+            self.ee = self.arm.fk(self.joints)
+        else:
+            self.ee = np.array([0.0, 0.0, 0.15])
         colors = colors or list(COLOR_MAP)
         shapes = shapes or SHAPE_IDS
         used = []
@@ -61,15 +90,42 @@ class KinematicSimulation:
                             self.rng.uniform(-0.22, 0.22), 0.02])
             self.objects.append(SceneObject(shape, color, pos))
 
+    def sample_target(self) -> np.ndarray:
+        """Goal marker for goal-conditioned tasks (Slide)."""
+        self.target = np.array([self.rng.uniform(-0.25, 0.25),
+                                self.rng.uniform(-0.25, 0.25), 0.0])
+        return self.target
+
     # -- dynamics ------------------------------------------------------------------
 
     def step(self, action: np.ndarray) -> None:
         """action = (dx, dy, dz, gripper_cmd in [-1, 1])."""
         delta = np.clip(np.asarray(action[:3], np.float64),
                         -MAX_STEP, MAX_STEP)
-        self.ee = np.clip(self.ee + delta, WORKSPACE[:, 0], WORKSPACE[:, 1])
-        self.gripper = float(np.clip((action[3] + 1) / 2, 0.0, 1.0))
-        # push contact: an open gripper sweeping into an object displaces it
+        target_ee = np.clip(self.ee + delta,
+                            WORKSPACE[:, 0], WORKSPACE[:, 1])
+        if self.use_arm:
+            self.joints = self.arm.ik(self.joints, target_ee)
+            self.ee = self.arm.fk(self.joints)
+        else:
+            self.ee = target_ee
+        self._post_motion(float(action[3]))
+
+    def joint_step(self, action: np.ndarray) -> None:
+        """``relative_joints`` mode (reference panda.py:23): action = 7 joint
+        deltas + gripper command, all in [-1, 1]."""
+        assert self.use_arm, "joint_step requires use_arm=True"
+        dq = np.clip(np.asarray(action[:NUM_DOF], np.float64), -1, 1) \
+            * MAX_JOINT_STEP
+        self.joints = np.clip(self.joints + dq,
+                              JOINT_LIMITS[:, 0], JOINT_LIMITS[:, 1])
+        self.ee = self.arm.fk(self.joints)
+        self._post_motion(float(action[NUM_DOF]))
+
+    def _post_motion(self, gripper_cmd: float) -> None:
+        self.gripper = float(np.clip((gripper_cmd + 1) / 2, 0.0, 1.0))
+        # push contact: an open gripper sweeping into an object imparts
+        # velocity; friction decides whether it stops (push) or glides (slide)
         for obj in self.objects:
             if obj.grasped:
                 continue
@@ -78,20 +134,43 @@ class KinematicSimulation:
             contact = obj.size + 0.015
             if dist < contact and self.ee[2] < 0.08:
                 direction = -gap / (dist + 1e-9)
-                obj.pos[:2] = np.clip(
-                    obj.pos[:2] + direction * (contact - dist),
-                    WORKSPACE[:2, 0], WORKSPACE[:2, 1])
+                obj.pos[:2] = obj.pos[:2] + direction * (contact - dist)
+                # impulse capped for stability: a deep sweep can't launch the
+                # object across the table in one step
+                obj.vel = direction * min((contact - dist) * 2.0, 0.02)
+        # integrate object velocities with friction decay
+        for obj in self.objects:
+            if obj.grasped or not np.any(obj.vel):
+                continue
+            obj.pos[:2] = np.clip(obj.pos[:2] + obj.vel,
+                                  WORKSPACE[:2, 0], WORKSPACE[:2, 1])
+            obj.vel = obj.vel * (1.0 - self.friction)
+            if np.linalg.norm(obj.vel) < 1e-4:
+                obj.vel = np.zeros(2)
+        # grasp / release / stack
         for obj in self.objects:
             if obj.grasped:
                 if self.gripper > 0.6:           # released
                     obj.grasped = False
                     obj.pos = self.ee.copy()
-                    obj.pos[2] = 0.02
+                    obj.pos[2] = self._rest_height(obj)
                 else:
                     obj.pos = self.ee.copy()
             elif (self.gripper < 0.4
                   and np.linalg.norm(self.ee - obj.pos) < GRASP_RADIUS):
                 obj.grasped = True
+
+    def _rest_height(self, dropped: SceneObject) -> float:
+        """Settle a released object: on top of another object if xy-aligned
+        (stacking, reference tasks/stack.py), else on the table."""
+        base_z = 0.02
+        for other in self.objects:
+            if other is dropped or other.grasped:
+                continue
+            if (np.linalg.norm(dropped.pos[:2] - other.pos[:2])
+                    < dropped.size + other.size):
+                base_z = max(base_z, other.pos[2] + other.size + dropped.size)
+        return base_z
 
     # -- camera ------------------------------------------------------------------
 
@@ -106,7 +185,11 @@ class KinematicSimulation:
         """Top-down RGB view (reference: front RGB camera images)."""
         import cv2
         img = np.full((size, size, 3), (120, 110, 100), np.uint8)  # table
-        for obj in self.objects:
+        if self.target is not None:
+            tx, ty = self._to_px(self.target, size)
+            cv2.circle(img, (tx, ty), 4, (250, 250, 250), 1)
+        # draw lower objects first so stacks occlude correctly
+        for obj in sorted(self.objects, key=lambda o: o.pos[2]):
             x, y = self._to_px(obj.pos, size)
             r = max(int(obj.size / 0.6 * size), 3)
             color = COLOR_MAP[obj.color]

@@ -20,7 +20,10 @@ def test_registry_and_reset():
         make("NoSuchEnv-v0")
 
 
-@pytest.mark.parametrize("env_id", ["NLReach2-v0", "NLPush2-v0", "NLLift2-v0"])
+@pytest.mark.parametrize("env_id", ["NLReach2-v0", "NLPush2-v0",
+                                    "NLLift2-v0", "NLGrasp2-v0",
+                                    "NLLeft2-v0", "NLRight2-v0",
+                                    "Slide-v0", "Stack2-v0"])
 def test_scripted_policy_succeeds(env_id):
     env = make(env_id, seed=1)
     successes = 0
@@ -33,6 +36,91 @@ def test_scripted_policy_succeeds(env_id):
             steps += 1
         successes += int(env.is_success())
     assert successes >= 8, f"{env_id}: expert only {successes}/10"
+
+
+@pytest.mark.parametrize("env_id", ["PandaNLReach2-v0", "PandaStack2-v0"])
+def test_joint_space_arm_envs(env_id):
+    """relative_joints action mode: 8-dim actions through the 7-DoF IK arm
+    (reference panda.py action_type='relative_joints')."""
+    env = make(env_id, seed=4)
+    obs = env.reset()
+    assert env.action_dim == 8
+    assert obs["joints"].shape == (7,)
+    successes = 0
+    for trial in range(6):
+        env.reset()
+        done, steps = False, 0
+        while not done and steps < 100:
+            a = scripted_policy(env)
+            assert a.shape == (8,)
+            _, _, done, info = env.step(a)
+            steps += 1
+        successes += int(env.is_success())
+    assert successes >= 4, f"{env_id}: joint-space expert {successes}/6"
+
+
+def test_arm_fk_ik_roundtrip():
+    from multimodal_vae_comparison_tpu.lanro.arm import (
+        ArmKinematics, NEUTRAL_JOINT_VALUES)
+    arm = ArmKinematics()
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        target = np.array([rng.uniform(-0.25, 0.25),
+                           rng.uniform(-0.25, 0.25),
+                           rng.uniform(0.02, 0.2)])
+        q = arm.ik(NEUTRAL_JOINT_VALUES.copy(), target, iters=60)
+        assert np.linalg.norm(arm.fk(q) - target) < 5e-3, target
+
+
+def test_gymnasium_api_surface():
+    env = make("NLReach2-v0", seed=5, gymnasium_api=True)
+    obs, info = env.reset(seed=11)
+    assert isinstance(info, dict) and obs["rgb"].shape == (64, 64, 3)
+    assert env.action_space.shape == (4,)
+    a = env.action_space.sample(np.random.default_rng(0))
+    assert env.action_space.contains(a)
+    obs, reward, terminated, truncated, info = env.step(a)
+    assert isinstance(terminated, bool) and isinstance(truncated, bool)
+    assert env.render().shape == (64, 64, 3)
+    # seeded resets reproduce the episode
+    o1, _ = env.reset(seed=7)
+    i1 = env.instruction
+    o2, _ = env.reset(seed=7)
+    assert env.instruction == i1
+    np.testing.assert_array_equal(o1["rgb"], o2["rgb"])
+
+
+def test_slide_dynamics_glide():
+    """Low-friction pucks keep gliding after the pusher stops (reference
+    tasks/slide.py lateral_friction=0.1)."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    sim = KinematicSimulation(seed=0, friction=0.05)
+    sim.reset(1)
+    obj = sim.objects[0]
+    obj.pos = np.array([0.0, 0.0, 0.02])
+    sim.ee = np.array([-0.05, 0.0, 0.05])
+    for _ in range(3):  # push through the puck
+        sim.step(np.array([0.04, 0.0, 0.0, 1.0]))
+    pos_after_push = obj.pos[:2].copy()
+    for _ in range(10):  # hands off: puck should keep moving
+        sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+        sim.ee = np.array([-0.2, 0.2, 0.15])  # keep EE away
+    assert np.linalg.norm(obj.pos[:2] - pos_after_push) > 0.01
+
+
+def test_stacking_rest_height():
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    sim = KinematicSimulation(seed=0)
+    sim.reset(2)
+    a, b = sim.objects
+    b.pos = np.array([0.1, 0.1, 0.02])
+    a.grasped = True
+    sim.ee = np.array([0.1, 0.1, 0.12])
+    sim.step(np.array([0.0, 0.0, 0.0, 1.0]))  # open gripper -> release
+    assert not a.grasped
+    assert abs(a.pos[2] - (b.pos[2] + b.size + a.size)) < 1e-6
 
 
 def test_random_policy_mostly_fails():
