@@ -216,8 +216,9 @@ def calculate_cross_coherency(exp, classifiers, level: int, n: int = 250):
     return {"text_image": t2i, "image_text": i2t}
 
 
-def calculate_joint_coherency(exp, classifiers, level: int, n: int = 64):
-    recons = exp.joint_generate(n)
+def calculate_joint_coherency(exp, classifiers, level: int, n: int = 64,
+                              source: str = "prior"):
+    recons = exp.joint_generate(n, source=source)
     mapping = _mod_mapping_dims(exp)
     images = (np.clip(recons[mapping["image"]], 0, 1) * 255).astype(np.uint8)
     txts = text_utils.onehot2text(recons[mapping["text"]])
@@ -265,13 +266,24 @@ def eval_single_model(exp, n_samples: int = 250, log_fn=print) -> Dict:
         log_fn("Calculating CdSprites+ automatic statistics")
     cross = calculate_cross_coherency(exp, classifiers, level, n_samples)
     joint = calculate_joint_coherency(exp, classifiers, level)
+    # ex-post (aggregate-posterior) sampling, reported alongside the
+    # reference's prior-sampling protocol — see infer.joint_generate
+    try:
+        joint_xp = calculate_joint_coherency(exp, classifiers, level,
+                                             source="expost")
+    except Exception as e:
+        if log_fn:
+            log_fn(f"expost joint sampling skipped: {e}")
+        joint_xp = {"joint": (float("nan"), float("nan"))}
     out = {"Text-Image Strict": {"value": cross["text_image"][0], "stdev": None},
            "Text-Image Features": {"value": cross["text_image"][1], "stdev": None},
            "Image-Text Strict": {"value": cross["image_text"][0], "stdev": None},
            "Image-Text Features": {"value": cross["image_text"][1], "stdev": None},
            "Image-Text Letters": {"value": cross["image_text"][2], "stdev": None},
            "Joint Strict": {"value": joint["joint"][0], "stdev": None},
-           "Joint Features": {"value": joint["joint"][1], "stdev": None}}
+           "Joint Features": {"value": joint["joint"][1], "stdev": None},
+           "Joint Strict ExPost": {"value": joint_xp["joint"][0], "stdev": None},
+           "Joint Features ExPost": {"value": joint_xp["joint"][1], "stdev": None}}
     run_dir = getattr(exp, "run_dir", None) or exp.config.mPath
     if run_dir:
         print_save_stats(out, run_dir, "cdspritesplus", level)
@@ -305,6 +317,7 @@ def _as_infer(obj):
         forward = MultimodalVAEInfer.forward
         cross_generate = MultimodalVAEInfer.cross_generate
         joint_generate = MultimodalVAEInfer.joint_generate
+        _expost_prior = MultimodalVAEInfer._expost_prior
         get_test_samples = MultimodalVAEInfer.get_test_samples
         _full_batch = MultimodalVAEInfer._full_batch
         mod_names = MultimodalVAEInfer.mod_names
@@ -318,7 +331,8 @@ def eval_over_seeds(parent_dir: str, level: int = 0) -> Dict:
     cats = {k: [] for k in ["Text-Image Strict", "Text-Image Features",
                             "Image-Text Strict", "Image-Text Features",
                             "Image-Text Letters", "Joint Strict",
-                            "Joint Features"]}
+                            "Joint Features", "Joint Strict ExPost",
+                            "Joint Features ExPost"]}
     for m in sorted(listdirs(parent_dir), key=last_letter):
         try:
             exp = MultimodalVAEInfer(m)

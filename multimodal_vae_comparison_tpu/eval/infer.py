@@ -103,21 +103,62 @@ class MultimodalVAEInfer:
                 recons[name] = np.asarray(dist.mean[0])
         return recons
 
-    def joint_generate(self, num_samples: int, seed: int = 0) -> Dict[str, np.ndarray]:
-        """Decode *learned*-prior samples with every decoder (joint
-        generation; the reference samples pz with its trained softmax scale,
-        trainer.py:217-239)."""
-        mu, scale = self.model.apply(self.params,
-                                     method=lambda m: m.pz_params())
-        z = mu + scale * jax.random.normal(
-            jax.random.PRNGKey(seed), (1, num_samples, self.model.n_latents))
+    def joint_generate(self, num_samples: int, seed: int = 0,
+                       source: str = "prior",
+                       temperature: float = 1.0) -> Dict[str, np.ndarray]:
+        """Decode latent samples with every decoder (joint generation).
+
+        source='prior': *learned*-prior samples (the reference protocol —
+        it samples pz with its trained softmax scale, trainer.py:217-239).
+        source='expost': samples from a full-covariance Gaussian fitted to
+        the aggregate posterior over the train split (ex-post density
+        estimation, Ghosh et al. 2020 "From VAEs to RAEs"); closes the
+        prior/aggregate-posterior mismatch that drives joint coherency to 0
+        on hard levels.  ``temperature`` scales the sampling stddev.
+        """
+        key = jax.random.PRNGKey(seed)
+        D = self.model.n_latents
+        if source == "expost":
+            mean, chol = self._expost_prior()
+            eps = jax.random.normal(key, (num_samples, D))
+            z = (mean[None] + temperature * (eps @ chol.T))[None]
+        else:
+            mu, scale = self.model.apply(self.params,
+                                         method=lambda m: m.pz_params())
+            z = mu + temperature * scale * jax.random.normal(
+                key, (1, num_samples, D))
         recons = {}
         for name in self.mod_names:
             dist = self.model.apply(
-                self.params, name, z,
+                self.params, name, jnp.asarray(z),
                 method=lambda m, nm, zz: m.decode_mod(nm, zz))
             recons[name] = np.asarray(dist.mean[0])
         return recons
+
+    def _expost_prior(self, max_samples: int = 2048):
+        """(mean, cholesky) of a Gaussian fitted to aggregate-posterior
+        latents of the train split; cached per instance."""
+        if getattr(self, "_expost_cache", None) is not None:
+            return self._expost_cache
+        zs = []
+        seen = 0
+        for batch in self.datamod.batches("train", batch_size=64):
+            out = self.forward(
+                {n: batch[n] for n in self.mod_names},
+                present=tuple(self.mod_names))
+            for name in self.mod_names:
+                lat = out.mods[name].latents
+                if lat is not None:
+                    zs.append(np.asarray(lat).reshape(-1, lat.shape[-1]))
+            seen += 64
+            if seen >= max_samples:
+                break
+        z = np.concatenate(zs, axis=0)
+        mean = z.mean(0)
+        cov = np.cov(z, rowvar=False) + 1e-4 * np.eye(z.shape[-1])
+        self._expost_cache = (mean.astype(np.float32),
+                              np.linalg.cholesky(cov).astype(np.float32))
+        return self._expost_cache
 
     def get_test_samples(self, n: int, split: str = "test"):
         """Samples + labels from the test split (falls back to val,
