@@ -110,18 +110,24 @@ class MultimodalVAEInfer:
 
         source='prior': *learned*-prior samples (the reference protocol —
         it samples pz with its trained softmax scale, trainer.py:217-239).
-        source='expost': samples from a full-covariance Gaussian fitted to
-        the aggregate posterior over the train split (ex-post density
-        estimation, Ghosh et al. 2020 "From VAEs to RAEs"); closes the
-        prior/aggregate-posterior mismatch that drives joint coherency to 0
-        on hard levels.  ``temperature`` scales the sampling stddev.
+        source='expost': samples the model's *aggregate posterior*
+        q(z) = 1/N sum_i q(z|x_i) — a mixture over stored per-sample
+        posterior params from the train split (ex-post density estimation in
+        the spirit of Ghosh et al. 2020 "From VAEs to RAEs", with the exact
+        mixture instead of a Gaussian fit); closes the prior/aggregate-
+        posterior mismatch that drives joint coherency to 0 on hard levels.
+        ``temperature`` scales the sampling stddev.
         """
         key = jax.random.PRNGKey(seed)
         D = self.model.n_latents
         if source == "expost":
-            mean, chol = self._expost_prior()
-            eps = jax.random.normal(key, (num_samples, D))
-            z = (mean[None] + temperature * (eps @ chol.T))[None]
+            mus, scales = self._expost_prior()
+            k1, k2 = jax.random.split(key)
+            idx = jax.random.randint(k1, (num_samples,), 0, len(mus))
+            eps = jax.random.normal(k2, (num_samples, D))
+            z = (mus[np.asarray(idx)]
+                 + temperature * scales[np.asarray(idx)] * np.asarray(eps))
+            z = z[None]
         else:
             mu, scale = self.model.apply(self.params,
                                          method=lambda m: m.pz_params())
@@ -136,28 +142,34 @@ class MultimodalVAEInfer:
         return recons
 
     def _expost_prior(self, max_samples: int = 2048):
-        """(mean, cholesky) of a Gaussian fitted to aggregate-posterior
-        latents of the train split; cached per instance."""
+        """Stored (mu, scale) rows of per-sample posteriors over the train
+        split — the components of the aggregate posterior mixture.  Uses the
+        fused joint posterior when the mixing model has one (POE/MoPOE),
+        else the per-modality posteriors.  Cached per instance."""
         if getattr(self, "_expost_cache", None) is not None:
             return self._expost_cache
-        zs = []
+        mus, scales = [], []
         seen = 0
+        D = self.model.n_latents
         for batch in self.datamod.batches("train", batch_size=64):
             out = self.forward(
                 {n: batch[n] for n in self.mod_names},
                 present=tuple(self.mod_names))
             for name in self.mod_names:
-                lat = out.mods[name].latents
-                if lat is not None:
-                    zs.append(np.asarray(lat).reshape(-1, lat.shape[-1]))
+                dist = (out.mods[name].joint_dist
+                        or out.mods[name].encoder_dist)
+                if dist is None:
+                    continue
+                mus.append(np.asarray(dist.loc)[..., :D].reshape(-1, D))
+                scales.append(np.asarray(dist.scale)[..., :D].reshape(-1, D))
+                if out.mods[name].joint_dist is not None:
+                    break   # one fused posterior covers all modalities
             seen += 64
             if seen >= max_samples:
                 break
-        z = np.concatenate(zs, axis=0)
-        mean = z.mean(0)
-        cov = np.cov(z, rowvar=False) + 1e-4 * np.eye(z.shape[-1])
-        self._expost_cache = (mean.astype(np.float32),
-                              np.linalg.cholesky(cov).astype(np.float32))
+        self._expost_cache = (
+            np.concatenate(mus, 0).astype(np.float32),
+            np.concatenate(scales, 0).astype(np.float32))
         return self._expost_cache
 
     def get_test_samples(self, n: int, split: str = "test"):
