@@ -23,8 +23,22 @@ from scipy import linalg
 
 
 def default_feature_fn(seed: int = 0) -> Callable[[np.ndarray], np.ndarray]:
-    """VGG19-topology conv features: converted torchvision weights when a
-    vgg19 checkpoint is installed (eval/weights.py), else fixed random."""
+    """Feature extractor priority: InceptionV3 pool3 when an
+    ``inception_v3`` checkpoint is installed (the reference's Inception-FID,
+    fid_score.py:12-66), else VGG19 features (pretrained if installed,
+    fixed random otherwise)."""
+    from multimodal_vae_comparison_tpu.eval import weights as W
+    inc_params = W.inception_feature_params()
+    if inc_params is not None:
+        from multimodal_vae_comparison_tpu.models.inception import InceptionV3
+        inc = InceptionV3()
+        inc_apply = jax.jit(lambda p, x: inc.apply(p, x))
+
+        def fn(images: np.ndarray) -> np.ndarray:
+            return np.asarray(inc_apply(inc_params,
+                                        jnp.asarray(images, jnp.float32)))
+        return fn
+
     from multimodal_vae_comparison_tpu.models import perceptual
     from multimodal_vae_comparison_tpu.models.nets import VGGFeatures
     model = VGGFeatures()

@@ -20,8 +20,16 @@ from multimodal_vae_comparison_tpu.lanro.env import make
 
 
 def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
-               seed: int = 0, log_every: int = 100) -> Dict[str, float]:
-    """Closed-loop eval of a trained trimodal model (image+language+actions)."""
+               seed: int = 0, log_every: int = 100,
+               replan_every: int = 0) -> Dict[str, float]:
+    """Closed-loop eval of a trained trimodal model (image+language+actions).
+
+    ``replan_every=0`` replays one open-loop trajectory inferred from the
+    initial image — the reference protocol (vilanro_test.py:277-346, one
+    forward then up to 70 blind steps).  ``replan_every=k`` re-infers the
+    trajectory from the *current* camera image every k steps and executes
+    the first k actions (receding-horizon control) — an extra capability
+    mode reported separately from the reference-protocol number."""
     env = make(env_id, seed=seed)
     # modality roles from config mod_types
     mapping = {m.mod_type: m.name for m in exp.config.mods}
@@ -35,36 +43,49 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     vocab = lang_ds.vocab
     lang_dims = exp.config.mods[lang_idx].feature_dims
 
-    successes = 0
-    for trial in range(trials):
-        obs = env.reset()
-        img = obs["rgb"].astype(np.float32) / 255.0
-        words = [w for w in obs["instruction"].split(" ") if w in vocab]
+    def encode_instruction(instruction: str):
+        words = [w for w in instruction.split(" ") if w in vocab]
         idx = np.zeros((lang_dims[0],), np.int64)
         mask = np.zeros((lang_dims[0],), bool)
         for i, w in enumerate(words[: lang_dims[0]]):
             idx[i] = vocab.index(w)
             mask[i] = True
-        onehot = np.eye(len(vocab), dtype=np.float32)[idx]
+        return np.eye(len(vocab), dtype=np.float32)[idx], mask
+
+    def predict_traj(obs):
+        img = obs["rgb"].astype(np.float32) / 255.0
+        onehot, mask = encode_instruction(obs["instruction"])
         inputs = {
             img_mod: {"data": img[None], "masks": None},
             lang_mod: {"data": onehot[None], "masks": mask[None]},
         }
         out = exp.forward(inputs, present=(img_mod, lang_mod))
-        traj = np.asarray(out.mods[act_mod].decoder_dist.mean[0][0])
+        return np.asarray(out.mods[act_mod].decoder_dist.mean[0][0])
+
+    successes = 0
+    for trial in range(trials):
+        obs = env.reset()
+        traj = predict_traj(obs)
         done = False
-        for action in traj:
-            action = np.asarray(action, np.float64).reshape(-1)[:4]
+        steps = 0
+        while not done and steps < len(traj):
+            action = np.asarray(traj[steps if not replan_every
+                                     else steps % replan_every],
+                                np.float64).reshape(-1)[:4]
             if action.shape[0] < 4:
                 action = np.concatenate([action, [1.0]])
             obs, reward, done, info = env.step(action)
-            if done:
-                break
+            steps += 1
+            if replan_every and not done and steps % replan_every == 0:
+                traj = predict_traj(obs)
+                if not len(traj):
+                    break
         successes += int(env.is_success())
         if log_every and (trial + 1) % log_every == 0:
             print(f"trial {trial + 1}/{trials}: "
                   f"success so far {successes / (trial + 1):.3f}")
-    return {"success_rate": successes / trials, "trials": trials}
+    return {"success_rate": successes / trials, "trials": trials,
+            "replan_every": replan_every}
 
 
 def main():
@@ -73,9 +94,13 @@ def main():
     parser.add_argument("--model", required=True, help="trained run dir")
     parser.add_argument("--env", default="NLReach2-v0")
     parser.add_argument("--trials", type=int, default=500)
+    parser.add_argument("--replan", type=int, default=0,
+                        help="re-infer from the current image every k steps "
+                             "(0 = reference open-loop protocol)")
     args = parser.parse_args()
     exp = MultimodalVAEInfer(args.model)
-    stats = infer_loop(exp, args.env, args.trials)
+    stats = infer_loop(exp, args.env, args.trials,
+                       replan_every=args.replan)
     print(stats)
 
 

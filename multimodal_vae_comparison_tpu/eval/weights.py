@@ -149,6 +149,47 @@ def convert_resnet50(sd: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# InceptionV3 (FID features; reference fid_score.py uses pool3)
+# ---------------------------------------------------------------------------
+
+def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision ``inception_v3`` state dict -> models/inception.InceptionV3
+    params.  flax submodule names mirror the torch module paths, so this is a
+    mechanical key walk; fc/AuxLogits are dropped (pool3 features only)."""
+    out: Dict[str, Any] = {}
+
+    def put(path, leaf, value):
+        node = out
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    for key, val in sd.items():
+        parts = key.split(".")
+        if parts[0] in ("fc", "AuxLogits") or parts[-1] == "num_batches_tracked":
+            continue
+        val = np.asarray(val, np.float32)
+        mod, leaf = parts[:-1], parts[-1]
+        if mod[-1] == "conv" and leaf == "weight":
+            put(mod, "kernel", _conv_kernel(val))
+        elif mod[-1] == "bn":
+            name = {"weight": "scale", "bias": "bias",
+                    "running_mean": "mean", "running_var": "var"}[leaf]
+            put(mod, name, val)
+        else:
+            raise KeyError(f"unexpected inception_v3 entry {key}")
+    return {"params": out}
+
+
+def inception_feature_params() -> Optional[Dict[str, Any]]:
+    """Converted InceptionV3 params, or None when no weights file exists."""
+    path = find_weights_file("inception_v3")
+    if path is None:
+        return None
+    return convert_inception(load_state_dict(path))
+
+
+# ---------------------------------------------------------------------------
 # Installation into live parameter trees
 # ---------------------------------------------------------------------------
 

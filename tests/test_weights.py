@@ -205,3 +205,69 @@ def test_feature_loss_registered_and_trains(tmp_path):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def synthetic_inception_sd(rng):
+    """Build a torch-layout inception_v3 state dict by mirroring the flax
+    module's own tree (shapes from init), converted back to OIHW."""
+    from multimodal_vae_comparison_tpu.models.inception import InceptionV3
+    model = InceptionV3()
+    ref = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 75, 75, 3))))
+
+    sd = {}
+
+    def walk(node, path):
+        if "kernel" in node:   # a conv leaf
+            k = node["kernel"]
+            sd[".".join(path) + ".weight"] = (
+                rng.normal(size=np.transpose(k, (3, 2, 0, 1)).shape)
+                / np.sqrt(np.prod(k.shape[:3]))).astype(np.float32)
+            return
+        if "scale" in node:    # a FrozenBatchNorm leaf
+            c = node["scale"].shape[0]
+            p = ".".join(path)
+            sd[p + ".weight"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[p + ".bias"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[p + ".running_mean"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[p + ".running_var"] = (np.abs(rng.normal(size=(c,)))
+                                      + 0.5).astype(np.float32)
+            sd[p + ".num_batches_tracked"] = np.zeros((), np.int64)
+            return
+        for k, v in node.items():
+            walk(v, path + [k])
+
+    walk(ref["params"], [])
+    # entries the converter must skip
+    sd["fc.weight"] = rng.normal(size=(1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = rng.normal(size=(1000,)).astype(np.float32)
+    return sd, ref
+
+
+def test_convert_inception_matches_flax_tree_and_runs():
+    from multimodal_vae_comparison_tpu.models.inception import InceptionV3
+    rng = np.random.default_rng(5)
+    sd, ref = synthetic_inception_sd(rng)
+    converted = W.convert_inception(sd)
+    ref_flat, ref_def = jax.tree_util.tree_flatten(ref)
+    conv_flat, conv_def = jax.tree_util.tree_flatten(converted)
+    assert ref_def == conv_def
+    for a, b in zip(ref_flat, conv_flat):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    out = InceptionV3().apply(converted, jnp.ones((2, 64, 64, 3)) * 0.5)
+    assert out.shape == (2, 2048)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fid_uses_inception_when_installed(tmp_path, monkeypatch):
+    monkeypatch.setenv("MVAE_TPU_WEIGHTS_DIR", str(tmp_path))
+    rng = np.random.default_rng(6)
+    sd, _ = synthetic_inception_sd(rng)
+    sd.pop("fc.weight"), sd.pop("fc.bias")
+    np.savez(tmp_path / "inception_v3.npz",
+             **{k: v for k, v in sd.items()
+                if not k.endswith("num_batches_tracked")})
+    from multimodal_vae_comparison_tpu.eval import fid
+    fn = fid.default_feature_fn()
+    feats = fn(np.random.default_rng(0).random((4, 32, 32, 3), np.float32) * 0)
+    assert feats.shape == (4, 2048)
