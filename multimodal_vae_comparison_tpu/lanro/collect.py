@@ -105,7 +105,15 @@ def scripted_policy(env: LanroEnv) -> np.ndarray:
 
 
 def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
-            max_len: int = 100) -> dict:
+            max_len: int = 100, chunk_every: int = 0) -> dict:
+    """Roll the scripted expert and dump the trimodal pkl layout.
+
+    ``chunk_every=k`` additionally emits hindsight action-chunk samples:
+    for every k-th mid-episode step the *current* frame is paired with the
+    remaining trajectory suffix.  Trained on these, the model's cross
+    generation is in-distribution for receding-horizon replanning
+    (vilanro_test --replan k), which the initial-frame-only data is not —
+    round-1 measured replanning *below* open-loop for exactly that reason."""
     os.makedirs(out_dir, exist_ok=True)
     env = make(env_id, seed=seed)
     images: List[np.ndarray] = []
@@ -114,16 +122,24 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     successes = 0
     for ep in range(episodes):
         obs = env.reset()
-        images.append(obs["rgb"])    # initial scene: what the policy sees
-        instructions.append(env.instruction)
+        frames = [obs["rgb"]]        # frame before each action
+        instruction = env.instruction
         traj = []
         done = False
         while not done and len(traj) < max_len:
             action = scripted_policy(env)
             traj.append(action)
             obs, reward, done, info = env.step(action)
+            frames.append(obs["rgb"])
         successes += int(env.is_success())
+        images.append(frames[0])     # initial scene: what the policy sees
+        instructions.append(instruction)
         trajectories.append(np.stack(traj))
+        if chunk_every:
+            for t in range(chunk_every, len(traj), chunk_every):
+                images.append(frames[t])
+                instructions.append(instruction)
+                trajectories.append(np.stack(traj[t:]))
     vocab = sorted({w for ins in instructions for w in ins.split(" ")})
     with open(os.path.join(out_dir, "image_final.pkl"), "wb") as f:
         pickle.dump(images, f)
@@ -133,7 +149,8 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
         pickle.dump(trajectories, f)
     with open(os.path.join(out_dir, "vocab.txt"), "w") as f:
         f.write("\n".join(vocab) + "\n")
-    return {"episodes": episodes, "expert_success": successes / episodes,
+    return {"episodes": episodes, "samples": len(trajectories),
+            "expert_success": successes / episodes,
             "vocab_size": len(vocab), "out_dir": out_dir}
 
 
@@ -143,8 +160,12 @@ def main():
     parser.add_argument("--episodes", type=int, default=2000)
     parser.add_argument("--out", required=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--chunk_every", type=int, default=0,
+                        help="also emit (mid-episode frame, remaining-"
+                             "trajectory) hindsight chunks every k steps")
     args = parser.parse_args()
-    stats = collect(args.env, args.episodes, args.out, args.seed)
+    stats = collect(args.env, args.episodes, args.out, args.seed,
+                    chunk_every=args.chunk_every)
     print(stats)
 
 

@@ -158,3 +158,26 @@ def test_collect_vilanro_roundtrip(tmp_path):
     idata, _ = rgb.get_data("train")
     assert idata.shape == (12, 64, 64, 3)
     assert idata.max() <= 1.0
+
+
+def test_collect_hindsight_chunks(tmp_path):
+    """chunk_every=k emits (mid-episode frame, suffix trajectory) extras:
+    suffixes shrink by k steps and frames differ from the initial scene."""
+    import pickle
+    stats = collect("NLReach2-v0", episodes=4, out_dir=str(tmp_path), seed=0,
+                    chunk_every=5)
+    assert stats["samples"] > stats["episodes"]
+    with open(os.path.join(str(tmp_path), "endeff_actions_final.pkl"),
+              "rb") as f:
+        trajs = pickle.load(f)
+    with open(os.path.join(str(tmp_path), "image_final.pkl"), "rb") as f:
+        images = pickle.load(f)
+    assert len(trajs) == len(images) == stats["samples"]
+    # first episode's chunks follow it: each 5 shorter than the last
+    base = len(trajs[0])
+    n_chunks = (base - 1) // 5
+    for j in range(1, n_chunks + 1):
+        assert len(trajs[j]) == base - 5 * j
+        np.testing.assert_array_equal(trajs[j], trajs[0][5 * j:])
+    if n_chunks:
+        assert not np.array_equal(images[1], images[0])
