@@ -126,9 +126,13 @@ def predict(model, params, images, batch_size: int = 256) -> np.ndarray:
 
 
 def save_classifier(params, path: str) -> None:
+    """Atomic write (tmp + rename): an interrupted run must never leave a
+    truncated cache that later loads as EOFError."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(jax.device_get(params), f)
+    os.replace(tmp, path)
 
 
 def load_classifier(path: str):
@@ -140,9 +144,13 @@ def get_or_train_classifier(cache_path: str, model: nn.Module,
                             data_fn: Callable[[], Tuple[np.ndarray, np.ndarray]],
                             **train_kwargs):
     """Load a cached classifier or train+cache one (offline replacement for
-    the reference's downloaded ./eval/classifiers/*.pth)."""
+    the reference's downloaded ./eval/classifiers/*.pth).  A corrupt or
+    truncated cache is discarded and retrained, not fatal."""
     if os.path.exists(cache_path):
-        return load_classifier(cache_path)
+        try:
+            return load_classifier(cache_path)
+        except Exception:
+            os.remove(cache_path)
     images, labels = data_fn()
     params = train_classifier(model, images, labels, **train_kwargs)
     save_classifier(params, cache_path)

@@ -132,3 +132,28 @@ def test_infer_uses_k1_model(run):
     recs = exp.cross_generate("mod_2", batch["mod_2"]["data"],
                               batch["mod_2"]["masks"])
     assert recs["mod_1"].shape[0] == 2
+
+
+def test_classifier_cache_corruption_tolerated(tmp_path):
+    """A truncated cache pkl (e.g. from a killed run) is retrained, not
+    fatal; save is atomic so no .tmp residue is left behind."""
+    import os
+    import numpy as np
+    from multimodal_vae_comparison_tpu.eval.classifiers import (
+        CNNClassifier, get_or_train_classifier)
+    cache = str(tmp_path / "judge.pkl")
+    open(cache, "wb").close()                       # 0-byte corrupt cache
+    rng = np.random.default_rng(0)
+    imgs = rng.random((20, 32, 32, 1)).astype("float32")
+    y = rng.integers(0, 2, 20)
+    params = get_or_train_classifier(
+        cache, CNNClassifier(num_classes=2), lambda: (imgs, y),
+        epochs=1, batch_size=10)
+    assert params is not None
+    assert os.path.getsize(cache) > 0
+    assert not os.path.exists(cache + ".tmp")
+    # second call loads the healthy cache
+    p2 = get_or_train_classifier(
+        cache, CNNClassifier(num_classes=2), lambda: (None, None),
+        epochs=1, batch_size=10)
+    assert p2 is not None
