@@ -76,6 +76,13 @@ def bench_jax(batch_size: int) -> dict:
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     step = make_train_step(model, tx)
+    # analytic MXU-only FLOPs (dot_general + conv) of the full step — the
+    # denominator-honest utilization number (see ops/flops.py docstring)
+    try:
+        from multimodal_vae_comparison_tpu.ops.flops import mxu_flops
+        mxu = mxu_flops(step, state, batch, rng)["mxu_flops"]
+    except Exception:
+        mxu = None
     # AOT-compile once; the compiled object both executes and reports the
     # XLA-counted FLOPs of the whole step (fwd+bwd+optimizer)
     flops = None
@@ -104,12 +111,15 @@ def bench_jax(batch_size: int) -> dict:
     step_s = dt / STEPS
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops / step_s / (peak * n_chips)) if (flops and peak) else None
+    mfu_mxu = (mxu / step_s / (peak * n_chips)) if (mxu and peak) else None
     return {
         "batch": batch_size,
         "samples_per_s_per_chip": round(batch_size * STEPS / dt / n_chips, 2),
         "step_ms": round(step_s * 1e3, 3),
         "flops_per_step": flops,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "mxu_flops_per_step": mxu,
+        "mfu_mxu": round(mfu_mxu, 4) if mfu_mxu is not None else None,
     }
 
 
@@ -240,14 +250,18 @@ def main():
         "vs_baseline": round(sps / torch_sps, 2) if torch_sps else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "mfu": head["mfu"],
+        "mfu_mxu": head["mfu_mxu"],
         "step_ms": head["step_ms"],
         "flops_per_step": head["flops_per_step"],
+        "mxu_flops_per_step": head["mxu_flops_per_step"],
         "peak_bf16_flops": _peak_flops(jax.devices()[0]),
-        "mfu_definition": ("XLA cost-analysis FLOPs of the whole train step "
-                           "(MXU matmul + VPU vector work) / step time / "
-                           "chip peak bf16; values near or above 1.0 mean "
-                           "the step is fully compute-bound with MXU and "
-                           "VPU work overlapping"),
+        "mfu_definition": ("mfu = XLA cost-analysis FLOPs of the whole train "
+                           "step (MXU matmul + VPU vector work) / step time "
+                           "/ chip peak bf16 — can nominally exceed 1.0 when "
+                           "VPU and MXU overlap; mfu_mxu = analytic "
+                           "dot_general+conv FLOPs only (ops/flops.py) over "
+                           "the same denominator — the strict MXU "
+                           "utilization number"),
         "curve": curve,
         "best": best,
         "torch_cpu_samples_per_s": round(torch_sps, 2) if torch_sps else None,

@@ -177,12 +177,19 @@ class MultimodalVAEInfer:
         reference dataloader.py:166-176)."""
         if split == "test" and self.datamod._test is None:
             split = "val"
+        data = {"test": self.datamod._test, "val": self.datamod._val,
+                "train": self.datamod._train}[split]
+        # cap at the split size: asking for more would pad-wrap the batch
+        # (static shapes) and misalign it with the labels
+        n = min(n, len(data[0]["data"]))
         batch = next(self.datamod.batches(split, batch_size=n,
                                           drop_remainder=False))
         labels = {"test": self.datamod.labels_test,
                   "val": self.datamod.labels_val,
                   "train": self.datamod.labels_train}[split]
-        return batch, (labels[:n] if labels else None)
+        # labels may be a list or a numpy array (MNIST_SVHN) — no bare truth
+        return batch, (labels[:n] if labels is not None and len(labels)
+                       else None)
 
     def get_wrapped_model(self):
         """Compat shim: the reference returns a Lightning wrapper
