@@ -30,6 +30,11 @@ def latent_digit_accuracy(exp, n: int = 2000) -> float:
     q = any_mod.joint_dist or any_mod.encoder_dist
     z = np.asarray(q.loc)
     y = np.asarray(labels[: len(z)])
+    # the pairing index files are class-ordered (pair_indices walks digits
+    # 0..9), so shuffle before the 80/20 split or train/test see disjoint
+    # label sets
+    perm = np.random.default_rng(0).permutation(len(z))
+    z, y = z[perm], y[perm]
     n_train = int(0.8 * len(z))
     clf = LogisticRegression(max_iter=500).fit(z[:n_train], y[:n_train])
     return float(clf.score(z[n_train:], y[n_train:]))
