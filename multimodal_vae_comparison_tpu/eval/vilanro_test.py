@@ -102,6 +102,11 @@ def main():
     stats = infer_loop(exp, args.env, args.trials,
                        replan_every=args.replan)
     print(stats)
+    # same stats-txt artifact contract as the dataset benchmarks
+    from multimodal_vae_comparison_tpu.utils import print_save_stats
+    print_save_stats(
+        {k: {"value": float(v), "stdev": None} for k, v in stats.items()},
+        args.model, f"vilanro_{args.env}_replan{args.replan}")
 
 
 if __name__ == "__main__":

@@ -400,6 +400,7 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed * 100003 + epoch)
         staged = self.stage_epoch_data()
         self.state, metrics = self.epoch_runner(self.state, staged, rng)
+        metrics = jax.device_get(metrics)   # ONE host round trip, not per-key
         return {f"train_{k}": float(v) for k, v in metrics.items()}
 
     def stage_val_data(self):
@@ -433,6 +434,7 @@ class Trainer:
             return self.validate(epoch)
         rng = jax.random.PRNGKey(7 + epoch)
         metrics = self.eval_runner(self.state.params, staged, rng)
+        metrics = jax.device_get(metrics)   # ONE host round trip, not per-key
         return {f"val_{k}": float(v) for k, v in metrics.items()}
 
     def run_epoch(self, epoch: int) -> Dict[str, float]:
@@ -450,6 +452,7 @@ class Trainer:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v
         # one host sync per epoch
+        agg = jax.device_get(agg)
         agg = {f"train_{k}": float(v) / count for k, v in agg.items()}
         return agg
 
@@ -465,6 +468,7 @@ class Trainer:
                 agg[k] = agg.get(k, 0.0) + v
         if count == 0:
             return {}
+        agg = jax.device_get(agg)
         return {f"val_{k}": float(v) / count for k, v in agg.items()}
 
     def fit(self, epochs: Optional[int] = None,
