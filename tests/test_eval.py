@@ -157,3 +157,25 @@ def test_classifier_cache_corruption_tolerated(tmp_path):
         cache, CNNClassifier(num_classes=2), lambda: (None, None),
         epochs=1, batch_size=10)
     assert p2 is not None
+
+
+def test_get_test_samples_caps_at_split_size():
+    """Requesting more samples than the split holds must not pad-wrap the
+    batch out of alignment with the labels (MNIST-SVHN regression)."""
+    import types
+    import numpy as np
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+
+    dm = DataModule.__new__(DataModule)
+    data = np.arange(7, dtype=np.float32)[:, None]
+    dm._test = [{"data": data, "masks": None}]
+    dm._val = dm._train = dm._test
+    dm.batch_size = 4
+    dm.labels_test = np.arange(7)
+    dm.labels_val = dm.labels_train = dm.labels_test
+    fake = types.SimpleNamespace(datamod=dm)
+    batch, labels = MultimodalVAEInfer.get_test_samples(fake, 100)
+    assert len(batch["mod_1"]["data"]) == 7
+    assert len(labels) == 7
+    np.testing.assert_array_equal(batch["mod_1"]["data"][:, 0], labels)
