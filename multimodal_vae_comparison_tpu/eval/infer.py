@@ -20,9 +20,12 @@ from multimodal_vae_comparison_tpu.training.trainer import build_model
 
 
 class MultimodalVAEInfer:
-    def __init__(self, path: str):
+    def __init__(self, path: str, ckpt: str = "last"):
         """:param path: results dir (results/<exp>/version_N) or a path
-        inside it (e.g. .../model/last)."""
+        inside it (e.g. .../model/last).
+        :param ckpt: which checkpoint tag to restore ("last" or "best";
+        falls back to the other if the requested one is absent)."""
+        self._ckpt_tag = ckpt
         run_dir = path
         for _ in range(3):
             if os.path.exists(os.path.join(run_dir, "config.yml")):
@@ -55,13 +58,25 @@ class MultimodalVAEInfer:
         rng = jax.random.PRNGKey(0)
         abstract = self.model.init({"params": rng, "sample": rng}, batch,
                                    method=self.model.objective)
-        ckpt = os.path.join(self.run_dir, "model", "last")
+        other = {"last": "best", "best": "last"}[self._ckpt_tag]
+        ckpt = os.path.join(self.run_dir, "model", self._ckpt_tag)
         if not os.path.isdir(ckpt):
-            ckpt = os.path.join(self.run_dir, "model", "best")
+            ckpt = os.path.join(self.run_dir, "model", other)
         assert os.path.isdir(ckpt), f"no checkpoint at {ckpt}"
         # raw restore + treedef rebuild: tolerant of both param-only (round-1)
-        # and full-state (params/opt_state/step/best_val) checkpoint layouts
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+        # and full-state (params/opt_state/step/best_val) checkpoint layouts.
+        # Bounded retry: a reader may race a live trainer's save of 'last'
+        # (orbax force=True briefly exposes a partial/absent directory).
+        import time
+        raw = None
+        for attempt in range(5):
+            try:
+                raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+                break
+            except Exception:
+                if attempt == 4:
+                    raise
+                time.sleep(2.0 * (attempt + 1))
         ref = jax.device_get(abstract)
         flat_ref, treedef = jax.tree_util.tree_flatten(ref)
         flat_raw = jax.tree_util.tree_leaves(raw["params"])
