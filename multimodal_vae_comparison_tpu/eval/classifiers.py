@@ -41,10 +41,15 @@ class CNNClassifier(nn.Module):
 
 class VideoClassifier(nn.Module):
     """3D-conv video classifier (reference train_classifiers.py:12-57 uses a
-    VideoGPT encoder; a conv3d stack gives the same judge role)."""
+    VideoGPT encoder; a conv3d stack gives the same judge role).
+
+    ``heads > 0`` makes it a multi-attribute judge: logits come back as
+    (B, heads, num_classes) — the reference's frame2attributes classifier
+    (eval_sprites.py:60-62) predicts all 4 SPRITES attributes at once."""
 
     num_classes: int
     hidden: int = 32
+    heads: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -54,6 +59,9 @@ class VideoClassifier(nn.Module):
                                 padding="SAME")(h))
         h = h.mean(axis=(1, 2, 3))
         h = nn.relu(nn.Dense(self.hidden * 4)(h))
+        if self.heads:
+            out = nn.Dense(self.heads * self.num_classes)(h)
+            return out.reshape(out.shape[0], self.heads, self.num_classes)
         return nn.Dense(self.num_classes)(h)
 
 
@@ -77,7 +85,9 @@ def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
     order = np.random.default_rng(seed).permutation(n)[:usable]
     x_dev = jnp.asarray(images[order]).reshape(
         n_batches, -1, *images.shape[1:])
-    y_dev = jnp.asarray(labels[order]).reshape(n_batches, -1)
+    # labels may carry extra per-head dims, e.g. (N, 4) attribute targets
+    y_dev = jnp.asarray(labels[order]).reshape(
+        n_batches, -1, *labels.shape[1:])
 
     @jax.jit
     def epoch_fn(params, opt_state, xs, ys):
