@@ -426,10 +426,26 @@ class FASHIONMNIST(BaseDataset):
 
 
 class POLYMNIST(BaseDataset):
-    """PolyMNIST: 5 image modalities m0..m4 (reference datasets.py:812-881)."""
+    """PolyMNIST: 5 image modalities m0..m4 (reference datasets.py:812-881).
+
+    Digit labels are read from ``labels.npy`` / ``test_labels.npy`` next to
+    the modality arrays (the data_proc/polymnist.py builder contract) and
+    drive the coherence benchmark (eval/eval_polymnist.py)."""
 
     feature_dims = {f"m{i}": [28, 28, 3] for i in range(5)}
     text2img_size = (28, 28, 3)
+
+    def __init__(self, pth, testpth, mod_type):
+        super().__init__(pth, testpth, mod_type)
+        self._labels = None
+
+    def labels(self):
+        return self._labels
+
+    def eval_statistics_fn(self):
+        from multimodal_vae_comparison_tpu.eval.eval_polymnist import (
+            polymnist_eval)
+        return polymnist_eval
 
     def _mod_specific_loaders(self):
         return {k: self._load_image for k in self.feature_dims}
@@ -442,6 +458,12 @@ class POLYMNIST(BaseDataset):
         d = d.reshape(-1, *self.feature_dims[self.mod_type])
         if d.max() > 1.5:
             d = d / 255.0
+        base = os.path.basename(str(self.current_path))
+        lab = os.path.join(os.path.dirname(str(self.current_path)),
+                           "test_labels.npy" if base.startswith("test_")
+                           else "labels.npy")
+        if os.path.exists(lab):
+            self._labels = np.load(lab)
         return d, None
 
 

@@ -1,0 +1,62 @@
+"""PolyMNIST benchmark: 5-modality conditional/joint digit coherence.
+
+The reference ships the POLYMNIST dataset (datasets.py:812-881) without a
+bundled eval script; the published protocol for this dataset (MoPoE paper,
+https://arxiv.org/abs/2105.02470 §5.2) is the benchmark implemented here:
+
+* conditional generation coherence — generate m_j from m_i for every
+  ordered pair, judge the digit with a classifier trained on modality j;
+* joint generation coherence — decode prior/aggregate samples with all five
+  decoders and score agreement of the judged digits;
+* linear latent classification of the joint posterior.
+
+The per-modality digit judges and the probe are shared with the MNIST-SVHN
+benchmark (eval_mnistsvhn.py) — both follow the same judge-then-agree
+pattern, it generalizes over the modality count.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from multimodal_vae_comparison_tpu.eval.classifiers import (
+    CNNClassifier, get_or_train_classifier)
+from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
+    cross_coherence, joint_coherence, latent_digit_accuracy)
+
+
+def _digit_classifiers(exp, cache_dir: str):
+    out = {}
+    for i, name in enumerate(exp.mod_names):
+        model = CNNClassifier(num_classes=10)
+        cache = os.path.join(cache_dir, f"polymnist_digit_{name}.pkl")
+
+        def data_fn(i=i):
+            data, _ = exp.datamod.datasets[i].get_data("train")
+            labels = np.asarray(exp.datamod.datasets[i].labels())
+            return data.astype(np.float32), labels
+
+        out[name] = (model, get_or_train_classifier(cache, model, data_fn,
+                                                    epochs=6))
+    return out
+
+
+def polymnist_eval(trainer_or_infer) -> Dict[str, float]:
+    from multimodal_vae_comparison_tpu.eval.eval_cdsprites import _as_infer
+    from multimodal_vae_comparison_tpu.utils import print_save_stats
+    exp = _as_infer(trainer_or_infer)
+    cache_dir = os.environ.get("POLYMNIST_CLASSIFIER_DIR", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "classifiers"))
+    classifiers = _digit_classifiers(exp, cache_dir)
+    stats = {"latent_accuracy": latent_digit_accuracy(exp)}
+    pairwise = cross_coherence(exp, classifiers, n=500)
+    stats["cross_coherence_mean"] = float(np.mean(list(pairwise.values())))
+    stats.update(pairwise)
+    stats["joint_coherence"] = joint_coherence(exp, classifiers, n=500)
+    run_dir = getattr(exp, "run_dir", None) or exp.config.mPath
+    if run_dir:
+        print_save_stats({k: {"value": 100 * v, "stdev": None}
+                          for k, v in stats.items()}, run_dir, "polymnist")
+    return stats
