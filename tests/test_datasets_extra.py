@@ -110,3 +110,31 @@ def test_cub_loader(tmp_path):
     tdata, tmasks = txt.get_data("train")
     assert tdata.shape == (6, 246, 27)
     assert tmasks.shape == (6, 246)
+
+
+def test_polymnist_builder_and_labels(tmp_path):
+    """data_proc/polymnist builder contract: 5 modality arrays sharing the
+    digit label per sample, labels.npy plumbed through POLYMNIST.labels()."""
+    from multimodal_vae_comparison_tpu.data_proc.polymnist import (
+        build_surrogate)
+    out = build_surrogate(str(tmp_path), samples_train=20, samples_test=8,
+                          seed=0)
+    labels = np.load(os.path.join(out, "labels.npy"))
+    assert labels.shape == (20,)
+    for m in range(5):
+        arr = np.load(os.path.join(out, f"m{m}.npy"))
+        assert arr.shape == (20, 28, 28, 3) and arr.dtype == np.uint8
+        assert np.load(os.path.join(out, f"test_m{m}.npy")).shape[0] == 8
+    # modalities differ (different instance + background) but share labels
+    m0 = np.load(os.path.join(out, "m0.npy")).astype(np.float32)
+    m1 = np.load(os.path.join(out, "m1.npy")).astype(np.float32)
+    assert np.abs(m0 - m1).mean() > 1.0
+    ds = POLYMNIST(os.path.join(out, "m0.npy"),
+                   os.path.join(out, "test_m0.npy"), "m0")
+    data, _ = ds.get_data("train")
+    assert data.shape == (20, 28, 28, 3)
+    assert np.array_equal(ds.labels(), labels)
+    ds.get_data("test")
+    assert np.array_equal(ds.labels(),
+                          np.load(os.path.join(out, "test_labels.npy")))
+    assert ds.eval_statistics_fn() is not None
