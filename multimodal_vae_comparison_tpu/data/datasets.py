@@ -198,6 +198,10 @@ class CUB(BaseDataset):
     feature_dims = {"image": [64, 64, 3], "text": [246, 27, 1]}
     text2img_size = (64, 380, 3)
 
+    def eval_statistics_fn(self):
+        from multimodal_vae_comparison_tpu.eval.eval_cub import cub_eval
+        return cub_eval
+
     def _mod_specific_loaders(self):
         return {"image": self._load_image, "text": self._load_text}
 
@@ -348,6 +352,10 @@ class CELEBA(BaseDataset):
     """CelebA images + 4 binary attributes one-hot (reference datasets.py:650-747)."""
 
     feature_dims = {"image": [64, 64, 3], "atts": [4, 2]}
+
+    def eval_statistics_fn(self):
+        from multimodal_vae_comparison_tpu.eval.eval_celeba import celeba_eval
+        return celeba_eval
     labelmap = [["hairy", "bald"], ["no eyeglasses", "eyeglasses"],
                 ["female", "male"], ["not smiling", "smiling"]]
 
@@ -396,6 +404,11 @@ class FASHIONMNIST(BaseDataset):
 
     def labels(self):
         return self.labels_train
+
+    def eval_statistics_fn(self):
+        from multimodal_vae_comparison_tpu.eval.eval_fashionmnist import (
+            fashionmnist_eval)
+        return fashionmnist_eval
 
     def _npz(self):
         path = self.current_path

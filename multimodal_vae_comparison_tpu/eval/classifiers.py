@@ -22,11 +22,15 @@ from flax import linen as nn
 
 
 class CNNClassifier(nn.Module):
-    """4-conv image classifier (reference train_classifiers.py:59-123)."""
+    """4-conv image classifier (reference train_classifiers.py:59-123).
+
+    ``heads > 0`` returns (B, heads, num_classes) logits — a multi-attribute
+    judge (e.g. the 4 binary CelebA attributes at once)."""
 
     num_classes: int
     hid_channels: int = 32
     hidden_dim: int = 256
+    heads: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -36,6 +40,9 @@ class CNNClassifier(nn.Module):
                                 padding=1)(h))
         h = h.reshape(h.shape[0], -1)
         h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        if self.heads:
+            out = nn.Dense(self.heads * self.num_classes)(h)
+            return out.reshape(out.shape[0], self.heads, self.num_classes)
         return nn.Dense(self.num_classes)(h)
 
 

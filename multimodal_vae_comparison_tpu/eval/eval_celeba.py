@@ -1,0 +1,70 @@
+"""CelebA benchmark: attribute<->image coherence.
+
+The reference trains CelebA (datasets.py:650-747) but ships no eval script
+for it; this applies the framework's standard judge-then-agree protocol
+(eval_cdsprites.py / eval_mnistsvhn.py pattern) to the 4 binary attributes
+(bald, eyeglasses, male, smiling):
+
+* atts -> image: a 4-head CNN judge reads the generated face's attributes;
+* image -> atts: argmax of the generated attribute one-hots;
+* joint: prior samples decoded by both decoders must agree.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from multimodal_vae_comparison_tpu.eval.classifiers import (
+    CNNClassifier, get_or_train_classifier, predict)
+
+
+def _mods_by_type(exp):
+    return {m.mod_type: m.name for m in exp.config.mods}
+
+
+def _att_judge(exp, mapping, cache_dir):
+    model = CNNClassifier(num_classes=2, heads=4)
+    cache = os.path.join(cache_dir, "celeba_att_clf.pkl")
+    img_idx = exp.mod_names.index(mapping["image"])
+    att_idx = exp.mod_names.index(mapping["atts"])
+
+    def data_fn():
+        imgs, _ = exp.datamod.datasets[img_idx].get_data("train")
+        atts, _ = exp.datamod.datasets[att_idx].get_data("train")
+        return imgs.astype(np.float32), np.argmax(atts, -1)
+
+    return model, get_or_train_classifier(cache, model, data_fn, epochs=8)
+
+
+def celeba_eval(trainer_or_infer) -> Dict[str, float]:
+    from multimodal_vae_comparison_tpu.eval.eval_cdsprites import _as_infer
+    from multimodal_vae_comparison_tpu.utils import print_save_stats
+    exp = _as_infer(trainer_or_infer)
+    mapping = _mods_by_type(exp)
+    cache_dir = os.environ.get("CELEBA_CLASSIFIER_DIR", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "classifiers"))
+    model, params = _att_judge(exp, mapping, cache_dir)
+    n = min(500, exp.datamod.n_val)
+    batch, _ = exp.get_test_samples(n)
+    atts_gt = np.argmax(np.asarray(batch[mapping["atts"]]["data"]), -1)
+    stats = {}
+    recons = exp.cross_generate(mapping["atts"], batch[mapping["atts"]]["data"])
+    pred = predict(model, params, recons[mapping["image"]])
+    stats["atts_to_image_strict"] = float((pred == atts_gt).all(-1).mean())
+    stats["atts_to_image_mean"] = float((pred == atts_gt).mean())
+    recons = exp.cross_generate(mapping["image"],
+                                batch[mapping["image"]]["data"])
+    pred_atts = np.argmax(recons[mapping["atts"]], -1)
+    stats["image_to_atts_strict"] = float((pred_atts == atts_gt).all(-1).mean())
+    stats["image_to_atts_mean"] = float((pred_atts == atts_gt).mean())
+    joint = exp.joint_generate(min(n, 256))
+    pred_img = predict(model, params, joint[mapping["image"]])
+    joint_atts = np.argmax(joint[mapping["atts"]], -1)
+    stats["joint_coherence"] = float((pred_img == joint_atts).mean())
+    run_dir = getattr(exp, "run_dir", None) or exp.config.mPath
+    if run_dir:
+        print_save_stats({k: {"value": 100 * v, "stdev": None}
+                          for k, v in stats.items()}, run_dir, "celeba")
+    return stats

@@ -154,6 +154,110 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
             "vocab_size": len(vocab), "out_dir": out_dir}
 
 
+def expert_suffix(env, max_len: int = 100) -> np.ndarray:
+    """Expert's remaining trajectory from the env's *current* state, rolled
+    on a deep copy (the kinematic sim is pure numpy, cloning is cheap)."""
+    import copy
+    sim_env = copy.deepcopy(env)
+    traj = []
+    done = False
+    while not done and len(traj) < max_len:
+        a = scripted_policy(sim_env)
+        traj.append(a)
+        _, _, done, _ = sim_env.step(a)
+    if not traj:
+        traj = [np.zeros_like(scripted_policy(sim_env))]
+    return np.stack(traj)
+
+
+def collect_dagger(env_id: str, episodes: int, out_dir: str, model_dir: str,
+                   seed: int = 0, max_len: int = 100,
+                   rollout_steps: int = 15, batch: int = 100,
+                   mix_dir: str = None) -> dict:
+    """DAgger round: roll the *trained model's* receding-horizon policy and
+    label every visited state with the scripted expert's remaining
+    trajectory.
+
+    Open/closed-loop replay of cross-generated trajectories fails by
+    compounding covariate shift: one slightly-off action puts the arm in a
+    state the expert data never covers, and prediction quality collapses
+    (measured: first-action cosine vs the expert falls from 0.87 on expert
+    states to negative within ~4 model steps).  Expert-labeling the
+    *model-visited* state distribution is the standard correction (Ross et
+    al. 2011).  ``mix_dir`` merges an existing expert dataset into the
+    output so the result trains on both distributions."""
+    import jax
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+    exp = MultimodalVAEInfer(model_dir)
+    mapping = {m.mod_type: m.name for m in exp.config.mods}
+    lang_mod, act_mod = mapping["language"], mapping["actions"]
+    img_mod = mapping.get("front RGB") or mapping.get("image")
+    lang_idx = int(lang_mod.split("_")[1]) - 1
+    vocab_model = exp.datamod.datasets[lang_idx].vocab
+    L = exp.config.mods[lang_idx].feature_dims[0]
+
+    def encode(obs_list):
+        imgs = np.stack([o["rgb"] for o in obs_list]).astype(np.float32) / 255.
+        oh = np.zeros((len(obs_list), L, len(vocab_model)), np.float32)
+        mk = np.zeros((len(obs_list), L), bool)
+        for b, o in enumerate(obs_list):
+            words = [w for w in o["instruction"].split() if w in vocab_model]
+            for i, w in enumerate(words[:L]):
+                oh[b, i, vocab_model.index(w)] = 1.0
+                mk[b, i] = True
+        return {img_mod: {"data": imgs, "masks": None},
+                lang_mod: {"data": oh, "masks": mk}}
+
+    def policy_actions(obs_list):
+        out = exp.forward(encode(obs_list), present=(img_mod, lang_mod))
+        return np.asarray(out.mods[act_mod].decoder_dist.mean[0])[:, 0]
+
+    images, instructions, trajectories = [], [], []
+    rounds = max(episodes // batch, 1)
+    for r in range(rounds):
+        envs = [make(env_id, seed=seed + r * batch + t)
+                for t in range(batch)]
+        obs = [e.reset() for e in envs]
+        done = np.zeros(batch, bool)
+        for step in range(rollout_steps):
+            # label every live state with the expert's remaining trajectory
+            for b, e in enumerate(envs):
+                if done[b]:
+                    continue
+                images.append(obs[b]["rgb"])
+                instructions.append(obs[b]["instruction"])
+                trajectories.append(expert_suffix(e, max_len))
+            if done.all():
+                break
+            acts = policy_actions(obs)
+            for b, e in enumerate(envs):
+                if done[b]:
+                    continue
+                a = np.asarray(acts[b], np.float64).reshape(-1)
+                obs[b], _, d, _ = e.step(a[: e.action_dim])
+                done[b] = d
+    if mix_dir:
+        with open(os.path.join(mix_dir, "image_final.pkl"), "rb") as f:
+            images = list(pickle.load(f)) + images
+        with open(os.path.join(mix_dir, "instructions_final.pkl"), "rb") as f:
+            instructions = list(pickle.load(f)) + instructions
+        with open(os.path.join(mix_dir, "endeff_actions_final.pkl"), "rb") as f:
+            trajectories = list(pickle.load(f)) + trajectories
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = sorted({w for ins in instructions for w in ins.split(" ")})
+    with open(os.path.join(out_dir, "image_final.pkl"), "wb") as f:
+        pickle.dump(images, f)
+    with open(os.path.join(out_dir, "instructions_final.pkl"), "wb") as f:
+        pickle.dump(instructions, f)
+    with open(os.path.join(out_dir, "endeff_actions_final.pkl"), "wb") as f:
+        pickle.dump(trajectories, f)
+    with open(os.path.join(out_dir, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    return {"episodes": rounds * batch, "samples": len(trajectories),
+            "vocab_size": len(vocab), "out_dir": out_dir,
+            "mixed_from": mix_dir}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="NLReach2-v0")
@@ -163,9 +267,19 @@ def main():
     parser.add_argument("--chunk_every", type=int, default=0,
                         help="also emit (mid-episode frame, remaining-"
                              "trajectory) hindsight chunks every k steps")
+    parser.add_argument("--dagger_model", default=None,
+                        help="trained run dir: roll ITS policy and expert-"
+                             "label the visited states (DAgger round)")
+    parser.add_argument("--mix_dir", default=None,
+                        help="existing dataset dir to merge into the output")
     args = parser.parse_args()
-    stats = collect(args.env, args.episodes, args.out, args.seed,
-                    chunk_every=args.chunk_every)
+    if args.dagger_model:
+        stats = collect_dagger(args.env, args.episodes, args.out,
+                               args.dagger_model, args.seed,
+                               mix_dir=args.mix_dir)
+    else:
+        stats = collect(args.env, args.episodes, args.out, args.seed,
+                        chunk_every=args.chunk_every)
     print(stats)
 
 
