@@ -356,6 +356,10 @@ class CELEBA(BaseDataset):
     def eval_statistics_fn(self):
         from multimodal_vae_comparison_tpu.eval.eval_celeba import celeba_eval
         return celeba_eval
+
+    def labels(self):
+        # decoded attribute strings, drives the labelled t-SNE
+        return getattr(self, "_labels", None)
     labelmap = [["hairy", "bald"], ["no eyeglasses", "eyeglasses"],
                 ["female", "male"], ["not smiling", "smiling"]]
 
@@ -378,6 +382,7 @@ class CELEBA(BaseDataset):
         onehot = np.zeros(raw.shape + (2,), dtype=np.float32)
         onehot[..., 1] = raw == 0
         onehot[..., 0] = raw == 1
+        self._labels = self._decode_atts(onehot)
         return onehot, None
 
     def _decode_atts(self, data, masks=None):

@@ -165,3 +165,19 @@ def test_resume_from_own_checkpoint(tmp_path):
     # fit with the same total epochs is a no-op (all epochs already done)
     trainer2.fit(epochs=2, log_fn=None)
     assert int(trainer2.state.step) == step_after
+
+
+def test_all_shipped_configs_parse():
+    """Every YAML under configs/ (incl. round2 experiment configs) must
+    parse into a Config with modality blocks and a known mixing name."""
+    import glob
+    from multimodal_vae_comparison_tpu.config import Config
+    from multimodal_vae_comparison_tpu.models import MIXING_REGISTRY
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = (glob.glob(os.path.join(root, "configs", "*.yml"))
+             + glob.glob(os.path.join(root, "configs", "round2", "*.yml")))
+    assert len(paths) >= 12
+    for p in paths:
+        cfg = Config(p, eval_only=True)
+        assert cfg.mixing.lower() in MIXING_REGISTRY, p
+        assert len(cfg.mods) >= 1, p
