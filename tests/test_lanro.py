@@ -181,3 +181,22 @@ def test_collect_hindsight_chunks(tmp_path):
         np.testing.assert_array_equal(trajs[j], trajs[0][5 * j:])
     if n_chunks:
         assert not np.array_equal(images[1], images[0])
+
+
+def test_expert_suffix_completes_task():
+    """expert_suffix rolls the scripted expert on a deep copy: the returned
+    trajectory must finish the task when replayed on the original env, and
+    the original env must not be mutated by the copy's rollout."""
+    from multimodal_vae_comparison_tpu.lanro.collect import expert_suffix
+    from multimodal_vae_comparison_tpu.lanro.env import make
+    env = make("NLReach2-v0", seed=3)
+    env.reset()
+    ee_before = env.sim.ee.copy()
+    traj = expert_suffix(env)
+    assert np.array_equal(env.sim.ee, ee_before)  # env untouched
+    done = False
+    for a in traj:
+        if done:
+            break
+        _, _, done, _ = env.step(np.asarray(a, np.float64))
+    assert env.is_success()
