@@ -105,7 +105,8 @@ def scripted_policy(env: LanroEnv) -> np.ndarray:
 
 
 def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
-            max_len: int = 100, chunk_every: int = 0) -> dict:
+            max_len: int = 100, chunk_every: int = 0,
+            noise: float = 0.0) -> dict:
     """Roll the scripted expert and dump the trimodal pkl layout.
 
     ``chunk_every=k`` additionally emits hindsight action-chunk samples:
@@ -113,9 +114,17 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     remaining trajectory suffix.  Trained on these, the model's cross
     generation is in-distribution for receding-horizon replanning
     (vilanro_test --replan k), which the initial-frame-only data is not —
-    round-1 measured replanning *below* open-loop for exactly that reason."""
+    round-1 measured replanning *below* open-loop for exactly that reason.
+
+    ``noise > 0`` executes the expert with Gaussian action noise (DART,
+    Laskey et al. 2017) and relabels every recorded state with the *clean*
+    expert's remaining trajectory (expert_suffix) — covering the
+    neighborhood of the expert manifold that closed-loop drift actually
+    visits, without the distribution mismatch a learned-policy DAgger round
+    inherits from a weak model."""
     os.makedirs(out_dir, exist_ok=True)
     env = make(env_id, seed=seed)
+    rng = np.random.default_rng(seed)
     images: List[np.ndarray] = []
     instructions: List[str] = []
     trajectories: List[np.ndarray] = []
@@ -125,13 +134,26 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
         frames = [obs["rgb"]]        # frame before each action
         instruction = env.instruction
         traj = []
+        suffixes = []                # clean relabels of each visited state
         done = False
         while not done and len(traj) < max_len:
             action = scripted_policy(env)
+            if noise:
+                suffixes.append(expert_suffix(env, max_len))
+                action = np.clip(
+                    action + rng.normal(0.0, noise, action.shape), -1.0, 1.0
+                ).astype(np.float32)
             traj.append(action)
             obs, reward, done, info = env.step(action)
             frames.append(obs["rgb"])
         successes += int(env.is_success())
+        if noise:
+            # every visited (noisy-rollout) state, clean-expert-labeled
+            for t in range(0, len(suffixes), max(chunk_every, 1)):
+                images.append(frames[t])
+                instructions.append(instruction)
+                trajectories.append(suffixes[t])
+            continue
         images.append(frames[0])     # initial scene: what the policy sees
         instructions.append(instruction)
         trajectories.append(np.stack(traj))
@@ -267,6 +289,9 @@ def main():
     parser.add_argument("--chunk_every", type=int, default=0,
                         help="also emit (mid-episode frame, remaining-"
                              "trajectory) hindsight chunks every k steps")
+    parser.add_argument("--noise", type=float, default=0.0,
+                        help="DART: execute the expert with this Gaussian "
+                             "action noise and clean-relabel visited states")
     parser.add_argument("--dagger_model", default=None,
                         help="trained run dir: roll ITS policy and expert-"
                              "label the visited states (DAgger round)")
@@ -279,7 +304,7 @@ def main():
                                mix_dir=args.mix_dir)
     else:
         stats = collect(args.env, args.episodes, args.out, args.seed,
-                        chunk_every=args.chunk_every)
+                        chunk_every=args.chunk_every, noise=args.noise)
     print(stats)
 
 
