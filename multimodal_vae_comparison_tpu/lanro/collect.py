@@ -121,7 +121,10 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     expert's remaining trajectory (expert_suffix) — covering the
     neighborhood of the expert manifold that closed-loop drift actually
     visits, without the distribution mismatch a learned-policy DAgger round
-    inherits from a weak model."""
+    inherits from a weak model.  Because labels come from the clean expert,
+    the noisy rollout never needs to finish the task: it is cut at
+    ``noise_steps`` so the state distribution stays near-manifold instead
+    of deep in random-walk territory."""
     os.makedirs(out_dir, exist_ok=True)
     env = make(env_id, seed=seed)
     rng = np.random.default_rng(seed)
@@ -129,6 +132,7 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     instructions: List[str] = []
     trajectories: List[np.ndarray] = []
     successes = 0
+    noise_steps = 12
     for ep in range(episodes):
         obs = env.reset()
         frames = [obs["rgb"]]        # frame before each action
@@ -136,7 +140,7 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
         traj = []
         suffixes = []                # clean relabels of each visited state
         done = False
-        while not done and len(traj) < max_len:
+        while not done and len(traj) < (noise_steps if noise else max_len):
             action = scripted_policy(env)
             if noise:
                 suffixes.append(expert_suffix(env, max_len))
