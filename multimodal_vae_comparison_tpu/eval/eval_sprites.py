@@ -122,16 +122,22 @@ def sprites_eval(trainer_or_infer) -> Dict[str, float]:
     actions_gt = np.argmax(np.asarray(batch[mapping["actions"]]["data"]), -1)
     atts_gt = np.argmax(np.asarray(batch[mapping["attributes"]]["data"]), -1)
     stats = {}
+    # judge calibration: the 4-head judge's own accuracy on REAL frames —
+    # bounds every judged attribute number below
+    pred_real = predict(att_model, att_params,
+                        np.asarray(batch[mapping["frames"]]["data"]))
+    stats["att_judge_accuracy_real"] = float((pred_real == atts_gt).mean())
     # actions -> frames: video classifier judges the generated video's action
     recons = exp.cross_generate(mapping["actions"],
                                 batch[mapping["actions"]]["data"])
     pred = predict(act_model, act_params, recons[mapping["frames"]])
     stats["actions_to_frames"] = float((pred == actions_gt).mean())
-    # atts -> frames: 4-head judge, all four attributes must match
+    # atts -> frames: 4-head judge; strict all-4 plus per-attribute mean
     recons = exp.cross_generate(mapping["attributes"],
                                 batch[mapping["attributes"]]["data"])
     pred = predict(att_model, att_params, recons[mapping["frames"]])
     stats["atts_to_frames"] = float((pred == atts_gt).all(-1).mean())
+    stats["atts_to_frames_mean"] = float((pred == atts_gt).mean())
     # frames -> actions / frames -> atts: argmax of the generated one-hots
     recons = exp.cross_generate(mapping["frames"],
                                 batch[mapping["frames"]]["data"])
@@ -139,6 +145,7 @@ def sprites_eval(trainer_or_infer) -> Dict[str, float]:
     stats["frames_to_actions"] = float((pred_actions == actions_gt).mean())
     pred_atts = np.argmax(recons[mapping["attributes"]], -1)
     stats["frames_to_atts"] = float((pred_atts == atts_gt).all(-1).mean())
+    stats["frames_to_atts_mean"] = float((pred_atts == atts_gt).mean())
     # joint coherence: do prior-sampled frames agree with the sampled
     # actions (action_frame) and attributes (att_frame)?
     joint = exp.joint_generate(min(n, 256))
