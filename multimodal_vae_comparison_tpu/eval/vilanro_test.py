@@ -21,7 +21,7 @@ from multimodal_vae_comparison_tpu.lanro.env import make
 
 def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
                seed: int = 0, log_every: int = 100,
-               replan_every: int = 0) -> Dict[str, float]:
+               replan_every: int = 0, gain: float = 1.0) -> Dict[str, float]:
     """Closed-loop eval of a trained trimodal model (image+language+actions).
 
     ``replan_every=0`` replays one open-loop trajectory inferred from the
@@ -84,6 +84,12 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
             action = np.asarray(trajs[b, t_idx], np.float64).reshape(-1)[:4]
             if action.shape[0] < 4:
                 action = np.concatenate([action, [1.0]])
+            if gain != 1.0:
+                # amplify the commanded deltas (keeps the gripper channel),
+                # clipped to the env's action range — counteracts the
+                # systematic magnitude shrink of mean-decoded trajectories
+                action = np.concatenate(
+                    [np.clip(action[:3] * gain, -1.0, 1.0), action[3:]])
             obs[b], _, d, _ = env.step(action)
             done[b] = d
         if replan_every and (step + 1) % replan_every == 0 and not done.all():
@@ -108,10 +114,12 @@ def main():
     parser.add_argument("--replan", type=int, default=0,
                         help="re-infer from the current image every k steps "
                              "(0 = reference open-loop protocol)")
+    parser.add_argument("--gain", type=float, default=1.0,
+                        help="scale commanded action deltas (clipped)")
     args = parser.parse_args()
     exp = MultimodalVAEInfer(args.model)
     stats = infer_loop(exp, args.env, args.trials,
-                       replan_every=args.replan)
+                       replan_every=args.replan, gain=args.gain)
     print(stats)
     # same stats-txt artifact contract as the dataset benchmarks
     from multimodal_vae_comparison_tpu.utils import print_save_stats
