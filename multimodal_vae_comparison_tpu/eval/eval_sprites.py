@@ -53,8 +53,8 @@ def _attribute_classifier(exp, cache_dir):
     """4-head judge over (skin, pants, top, hair), 6 classes each — the
     frame2attributes role (reference eval_sprites.py:60-62)."""
     mapping = _mods_by_type(exp)
-    model = VideoClassifier(num_classes=6, heads=4)
-    cache = os.path.join(cache_dir, "sprites_att_clf.pkl")
+    model = VideoClassifier(num_classes=6, heads=4, hidden=48)
+    cache = os.path.join(cache_dir, "sprites_att_clf_v2.pkl")
 
     def data_fn():
         frames = _frames_train_data(exp, mapping)
@@ -62,7 +62,11 @@ def _attribute_classifier(exp, cache_dir):
         atts, _ = exp.datamod.datasets[atts_idx].get_data("train")
         return frames, np.argmax(atts, -1)  # (N, 4) integer targets
 
-    return model, get_or_train_classifier(cache, model, data_fn, epochs=8)
+    # appearance attributes need a longer-trained judge than the action
+    # one — 8 epochs left it at 28% per-attribute on real frames (chance
+    # 17%), which floored every judged attribute metric
+    return model, get_or_train_classifier(cache, model, data_fn, epochs=40,
+                                          lr=3e-4)
 
 
 def labelled_tsne(exp, n: int = 250) -> None:
