@@ -67,6 +67,15 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _check_bounds(idx: np.ndarray, n_src: int):
+    """The C kernels are raw memcpys; match the numpy fallback's IndexError
+    instead of silently reading out of bounds."""
+    if len(idx) and (int(idx.min()) < 0 or int(idx.max()) >= n_src):
+        raise IndexError(
+            f"gather index out of range for source of length {n_src}: "
+            f"min={int(idx.min())} max={int(idx.max())}")
+
+
 def gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """out[i] = src[idx[i]] — native memcpy gather for f32/bool/u8 rows,
     numpy fancy-indexing otherwise."""
@@ -75,6 +84,7 @@ def gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     if not _lib:
         return src[idx]
+    _check_bounds(idx, len(src))
     n = len(idx)
     row = int(np.prod(src.shape[1:], dtype=np.int64))
     out_shape = (n,) + src.shape[1:]
@@ -100,6 +110,7 @@ def gather_normalize(src: np.ndarray, idx: np.ndarray,
     idx = np.ascontiguousarray(idx, dtype=np.int64)
     if not _lib or src.dtype != np.uint8:
         return src[idx].astype(np.float32) * np.float32(scale)
+    _check_bounds(idx, len(src))
     n = len(idx)
     row = int(np.prod(src.shape[1:], dtype=np.int64))
     out = np.empty((n,) + src.shape[1:], np.float32)

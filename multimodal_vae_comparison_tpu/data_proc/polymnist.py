@@ -63,13 +63,17 @@ def _build(glyphs28: np.ndarray, labels: np.ndarray, out_dir: str,
     by_class = {d: np.where(labels == d)[0] for d in range(10)}
     by_class = {d: v for d, v in by_class.items() if len(v)}
     for tag, n in (("", samples_train), ("test_", samples_test)):
+        classes = sorted(by_class)
         lab = rng.integers(0, 10, n)
-        lab = np.array([d if d in by_class else d % len(by_class)
+        # absent labels (non-contiguous class sets) map onto a present class
+        lab = np.array([d if d in by_class else classes[d % len(classes)]
                         for d in lab])
         # five different instances of the same class, one per modality
-        picks = np.stack([
-            np.array([rng.choice(by_class[d]) for d in lab])
-            for _ in range(5)])
+        # (without replacement whenever the class has >=5 members)
+        picks = np.empty((5, n), np.int64)
+        for j, d in enumerate(lab):
+            pool = by_class[d]
+            picks[:, j] = rng.choice(pool, size=5, replace=len(pool) < 5)
         for mod in range(5):
             imgs = _compose(glyphs28[picks[mod]], mod, bgs[mod])
             np.save(os.path.join(out_dir, f"{tag}m{mod}.npy"), imgs)

@@ -35,8 +35,33 @@ def _mods_by_type(exp):
 
 
 def _word_factor(caption: str, factor: str) -> str:
+    """Extract a factor word positionally from the caption grammar.
+
+    'yellow'/'white' appear in both FACTORS['color'] and FACTORS['belly'],
+    so bag-of-words scanning mislabels e.g. 'a brown bird with a yellow
+    belly' as color=yellow.  The grammar (data_proc/surrogates.py
+    _bird_caption) always places the belly/beak adjective immediately
+    before its noun, and the color either immediately before 'bird' or
+    right after 'is' ('a small bird that is blue ...').
+    """
     words = caption.lower().split()
-    for w in FACTORS[factor]:
+    vocab = FACTORS[factor]
+    if factor in ("belly", "beak"):
+        if factor in words:
+            i = words.index(factor)
+            if i > 0 and words[i - 1] in vocab:
+                return words[i - 1]
+        return ""
+    if factor == "color":
+        if "bird" in words:
+            i = words.index("bird")
+            if i > 0 and words[i - 1] in vocab:
+                return words[i - 1]
+        for i, w in enumerate(words[:-1]):
+            if w == "is" and words[i + 1] in vocab:
+                return words[i + 1]
+        return ""
+    for w in vocab:  # size: vocabulary is unambiguous
         if w in words:
             return w
     return ""

@@ -73,9 +73,13 @@ class MultimodalVAEInfer:
             try:
                 raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
                 break
-            except Exception:
+            except (FileNotFoundError, ValueError) as e:
+                # only the in-progress-save signatures (partial/absent dir)
+                # are worth retrying; anything else surfaces immediately
                 if attempt == 4:
                     raise
+                print(f"[infer] checkpoint restore attempt {attempt + 1}/5 "
+                      f"failed ({type(e).__name__}: {e}); retrying...")
                 time.sleep(2.0 * (attempt + 1))
         ref = jax.device_get(abstract)
         flat_ref, treedef = jax.tree_util.tree_flatten(ref)

