@@ -12,17 +12,22 @@ Prints ONE JSON line:
 Methodology (round-3 rewrite — every number here is reproducible by a
 one-file probe):
 
+* **Fetch-of-scalar timing.**  A measurement probe on this remote-tunnel
+  platform showed `jax.block_until_ready` returning in 0.08 ms for a
+  10-matmul chain whose execution (plus lazy remote compile) actually took
+  175 s — block_until_ready does NOT reliably synchronize here, which is
+  the root cause of round 2's physically impossible MFU>1 numbers.  The
+  only trustworthy sync is a device-to-host transfer of the result, so
+  every timing in this file dispatches a program whose output is a SCALAR
+  that depends on all the work, and times until `float(out)` returns.
 * **Two timings per batch size.**  `step_ms_scan` runs N train steps inside
-  ONE `lax.scan` dispatch and blocks on the result — the device must execute
-  all N sequential steps before the host sees the output, so this is an
-  airtight device-time measurement and the steady-state number the
-  framework's scan-epoch trainer actually achieves.  `step_ms_blocked`
-  blocks on the full output tree after EVERY step — it additionally pays
-  the host<->device round trip per step (the latency a per-step training
-  loop with metric fetches would pay).  Round 2's pipelined-dispatch loop
-  (block once after N async dispatches) is gone: on this remote-tunnel
-  platform it under-measured per-step cost by >2x and produced physically
-  impossible MFU>1 numbers.
+  ONE `lax.scan` dispatch returning the final loss scalar — the device must
+  execute all N sequential steps before the scalar exists; a separately
+  measured null-program round trip is subtracted and the remainder divided
+  by N.  This is the steady-state number the framework's scan-epoch
+  trainer actually achieves.  `step_ms_fetch` fetches the loss after EVERY
+  step — it additionally pays the host<->device round trip per step (what
+  a per-step training loop with metric logging pays on this setup).
 * **Calibrated peak.**  A bf16 matmul sweep (also scan-timed in one
   dispatch) measures the FLOP/s this chip actually sustains on its best-case
   op.  MFU is reported against both the nominal spec-sheet peak and this
@@ -52,8 +57,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BATCH = int(os.environ.get("BENCH_BATCH", 24))
 BATCHES = [int(b) for b in
            os.environ.get("BENCH_BATCHES", f"{BATCH},256,1024,4096").split(",")]
-STEPS = int(os.environ.get("BENCH_STEPS", 20))        # blocked-loop steps
-SCAN_STEPS = int(os.environ.get("BENCH_SCAN_STEPS", 100))  # steps in one scan
+STEPS = int(os.environ.get("BENCH_STEPS", 20))        # per-step-fetch steps
+# steps inside one scan dispatch: enough that device time >> the ~33 ms
+# tunnel round trip being subtracted
+SCAN_STEPS = int(os.environ.get("BENCH_SCAN_STEPS", 300))
 TORCH_STEPS = int(os.environ.get("BENCH_TORCH_STEPS", 8))
 SEQ = 45
 LATENTS = 16
@@ -78,18 +85,40 @@ def _nominal_peak(device):
     return None
 
 
-def calibrate_peak() -> dict:
-    """Measured bf16 matmul FLOP/s on this chip (scan-timed, one dispatch).
+def null_round_trip_s() -> float:
+    """Median wall time of dispatch+fetch for a trivial program — the fixed
+    overhead subtracted from single-dispatch scan timings."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def nul(x):
+        return jnp.sum(x) * 0.0 + 1.0
+
+    x = jnp.zeros((8,))
+    float(nul(x))  # compile + warmup (fetch = real sync on this platform)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nul(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def calibrate_peak(rtt_s: float) -> dict:
+    """Measured bf16 matmul FLOP/s on this chip.
 
     body: carry = carry @ b — each iteration depends on the previous one,
-    so XLA cannot elide or overlap-beyond-peak anything; the final block
-    covers all iterations.
+    so XLA cannot elide anything; the program returns a scalar that depends
+    on the final carry and is timed to the host-side fetch (the only real
+    sync on this platform), minus the measured null round trip.
     """
     import jax
     import jax.numpy as jnp
 
     results = {}
-    iters = int(os.environ.get("BENCH_CALIB_ITERS", 30))
+    iters = int(os.environ.get("BENCH_CALIB_ITERS", 200))
     sizes = [int(s) for s in
              os.environ.get("BENCH_CALIB_SIZES", "2048,4096,8192").split(",")]
     for n in sizes:
@@ -102,13 +131,12 @@ def calibrate_peak() -> dict:
             def body(c, _):
                 return jnp.dot(c, b, preferred_element_type=jnp.bfloat16), ()
             c, _ = jax.lax.scan(body, a, None, length=iters)
-            return c
+            return jnp.sum(c.astype(jnp.float32))
 
-        chain(a, b).block_until_ready()  # compile + warmup
+        float(chain(a, b))  # compile + warmup, fetch-synced
         t0 = time.perf_counter()
-        out = chain(a, b)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
+        float(chain(a, b))
+        dt = max(time.perf_counter() - t0 - rtt_s, 1e-9)
         results[n] = 2.0 * n * n * n * iters / dt
     best = max(results.values())
     return {"matmul_tflops_by_size": {str(k): round(v / 1e12, 1)
@@ -141,9 +169,10 @@ def _build(batch_size):
     return state, batch, rng, raw_step
 
 
-def bench_jax(batch_size: int, peaks: dict) -> dict:
-    """One measurement: blocked + scan step times, FLOPs, MFU (both peaks)."""
+def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
+    """One measurement: per-step-fetch + scan step times, FLOPs, MFU."""
     import jax
+    import jax.numpy as jnp
 
     state, batch, rng, raw_step = _build(batch_size)
     step = jax.jit(raw_step, donate_argnums=(0,))
@@ -164,30 +193,33 @@ def bench_jax(batch_size: int, peaks: dict) -> dict:
     except Exception:
         pass
 
-    # -- timing A: block on the FULL output tree after every step ----------
+    # -- timing A: fetch the loss scalar after every step -------------------
     state, metrics = step(state, batch, rng)          # compile + warmup
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])                            # fetch = real sync
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, batch, rng)
-        jax.block_until_ready((state, metrics))
-    dt_blocked = time.perf_counter() - t0
-    step_s_blocked = dt_blocked / STEPS
+        float(metrics["loss"])
+    dt_fetch = time.perf_counter() - t0
+    step_s_fetch = dt_fetch / STEPS
 
-    # -- timing B: N steps inside ONE lax.scan dispatch ---------------------
+    # -- timing B: N steps inside ONE lax.scan dispatch, scalar out --------
     def scan_steps_fn(state, batch, rng):
         def body(s, _):
             s, m = raw_step(s, batch, rng)
             return s, m["loss"]
-        return jax.lax.scan(body, state, None, length=SCAN_STEPS)
+        state, losses = jax.lax.scan(body, state, None, length=SCAN_STEPS)
+        # scalar that depends on every step's loss — the fetch can only
+        # complete once all N steps have executed
+        return state, jnp.sum(losses.astype(jnp.float32))
 
     scan_steps = jax.jit(scan_steps_fn, donate_argnums=(0,))
-    state, losses = scan_steps(state, batch, rng)     # compile + warmup
-    jax.block_until_ready((state, losses))
+    state, total = scan_steps(state, batch, rng)      # compile + warmup
+    float(total)
     t0 = time.perf_counter()
-    state, losses = scan_steps(state, batch, rng)
-    jax.block_until_ready((state, losses))
-    dt_scan = time.perf_counter() - t0
+    state, total = scan_steps(state, batch, rng)
+    float(total)
+    dt_scan = max(time.perf_counter() - t0 - rtt_s, 1e-9)
     step_s_scan = dt_scan / SCAN_STEPS
 
     n_chips = jax.device_count()
@@ -203,10 +235,10 @@ def bench_jax(batch_size: int, peaks: dict) -> dict:
         "batch": batch_size,
         "samples_per_s_per_chip": round(
             batch_size / step_s_scan / n_chips, 2),
-        "samples_per_s_per_chip_blocked": round(
-            batch_size / step_s_blocked / n_chips, 2),
+        "samples_per_s_per_chip_fetch": round(
+            batch_size / step_s_fetch / n_chips, 2),
         "step_ms_scan": round(step_s_scan * 1e3, 3),
-        "step_ms_blocked": round(step_s_blocked * 1e3, 3),
+        "step_ms_fetch": round(step_s_fetch * 1e3, 3),
         "flops_per_step": flops,
         "mxu_flops_per_step": mxu,
         "mfu_nominal": _mfu(flops, nominal, step_s_scan),
@@ -251,10 +283,10 @@ def bench_scan_epoch(batch_size: int = 24, n_steps: int = 400) -> dict:
                        step=jnp.zeros((), jnp.int32))
     epoch_fn = make_epoch_runner(model, tx, reshuffle=True)
     state, metrics = epoch_fn(state, epoch_data, rng)   # compile + warmup
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])                              # fetch = real sync
     t0 = time.perf_counter()
     state, metrics = epoch_fn(state, epoch_data, rng)
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     n_chips = jax.device_count()
     return {
@@ -378,7 +410,7 @@ def mesh_child(n_dev: int, global_batch: int) -> None:
     virtual CPU mesh at a fixed global batch (weak-scaling table)."""
     import jax
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
     from multimodal_vae_comparison_tpu.parallel.mesh import (
         make_mesh, shard_batch)
@@ -391,14 +423,15 @@ def mesh_child(n_dev: int, global_batch: int) -> None:
         def body(s, _):
             s, m = raw_step(s, batch, rng)
             return s, m["loss"]
-        return jax.lax.scan(body, state, None, length=20)
+        state, losses = jax.lax.scan(body, state, None, length=20)
+        return state, jnp.sum(losses.astype(jnp.float32))
 
     step = jax.jit(scan_steps_fn, donate_argnums=(0,))
-    state, losses = step(state, batch, rng)
-    jax.block_until_ready((state, losses))
+    state, total = step(state, batch, rng)
+    float(total)
     t0 = time.perf_counter()
-    state, losses = step(state, batch, rng)
-    jax.block_until_ready((state, losses))
+    state, total = step(state, batch, rng)
+    float(total)
     dt = time.perf_counter() - t0
     print(json.dumps({"n_devices": n_dev, "global_batch": global_batch,
                       "step_ms": round(dt / 20 * 1e3, 2),
@@ -439,10 +472,12 @@ def main():
     enable_compilation_cache()
 
     nominal = _nominal_peak(jax.devices()[0])
-    calib = calibrate_peak()
+    rtt_s = null_round_trip_s()
+    calib = calibrate_peak(rtt_s)
+    calib["null_round_trip_ms"] = round(rtt_s * 1e3, 2)
     peaks = {"nominal_peak_flops": nominal,
              "calibrated_peak_flops": calib["calibrated_peak_flops"]}
-    curve = [bench_jax(b, peaks) for b in BATCHES]
+    curve = [bench_jax(b, peaks, rtt_s) for b in BATCHES]
     head = curve[0]
     best = max(curve, key=lambda r: r["samples_per_s_per_chip"])
     try:
@@ -457,7 +492,7 @@ def main():
     out = {
         "metric": ("train samples/sec/chip, bimodal MVAE (PoE, CdSprites+ L2 "
                    "shapes, bs=%d, bf16), scan-timed (N steps in one "
-                   "dispatch, block on result) vs equivalent PyTorch on host "
+                   "dispatch, fetch-synced) vs equivalent PyTorch on host "
                    "CPU (1 core — the only torch target in this image; the "
                    "reference hardcodes .cuda() and names no GPU)"
                    % BATCHES[0]),
@@ -466,7 +501,7 @@ def main():
         "vs_baseline": round(sps / torch_sps, 2) if torch_sps else None,
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "step_ms_scan": head["step_ms_scan"],
-        "step_ms_blocked": head["step_ms_blocked"],
+        "step_ms_fetch": head["step_ms_fetch"],
         "mfu_nominal": head["mfu_nominal"],
         "mfu_mxu_nominal": head["mfu_mxu_nominal"],
         "nominal_peak_bf16_flops": nominal,
@@ -478,13 +513,20 @@ def main():
             "only (ops/flops.py) over the same denominator; *_calibrated = "
             "same numerators over the measured matmul-sweep peak "
             "(calibration field).  All timings are single-dispatch lax.scan "
-            "over N sequential steps, blocked on the result — no pipelined "
-            "dispatch.  mfu_*_nominal > 1.0 fails the bench by assertion."),
+            "over N sequential steps, synced by fetching a scalar that "
+            "depends on every step (block_until_ready does not reliably "
+            "wait on this remote platform), minus the measured null round "
+            "trip.  mfu_*_nominal > 1.0 fails the bench by assertion."),
         "curve": curve,
         "best": best,
         "scan_epoch": scan_epoch,
         "torch_cpu_samples_per_s": round(torch_sps, 2) if torch_sps else None,
     }
+    try:
+        from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+        out["kernel_paths"] = telemetry.summary()
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
