@@ -137,7 +137,6 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, kv_in, mask_bias=None):
-        import os
         d_model = q_in.shape[-1]
         assert d_model % self.num_heads == 0
         dh = d_model // self.num_heads
@@ -145,20 +144,23 @@ class MultiHeadAttention(nn.Module):
         q = dense("query")(q_in).transpose(0, 2, 1, 3)
         k = dense("key")(kv_in).transpose(0, 2, 1, 3)
         v = dense("value")(kv_in).transpose(0, 2, 1, 3)
-        out = None
-        if os.environ.get("MMVAE_TPU_FLASH_ATTN") == "1":
-            # opt-in Pallas flash-attention kernel (ops/pallas/attention.py);
-            # key-padding masks come in as an additive (B, 1, 1, Tk) bias
-            try:
-                from multimodal_vae_comparison_tpu.ops.pallas.attention import (
-                    masked_flash_attention)
-                key_mask = (None if mask_bias is None
-                            else mask_bias[:, 0, 0, :] >= -1.0)
-                out = masked_flash_attention(q, k, v, key_mask).astype(self.dtype)
-            except Exception:   # non-TPU backends fall back to fused XLA
-                out = None
-        if out is None:
+        from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+        from multimodal_vae_comparison_tpu.ops.pallas.attention import (
+            masked_flash_attention, use_flash_attention)
+        # key-padding masks come in as an additive (B, 1, 1, Tk) bias; the
+        # Pallas kernel only handles that (per-key) mask form, not full
+        # (B, H, Tq, Tk) biases like the strided-sparse pattern
+        per_key_bias = mask_bias is None or (
+            mask_bias.ndim == 4 and mask_bias.shape[1] == 1
+            and mask_bias.shape[2] == 1)
+        if use_flash_attention() and per_key_bias:
+            key_mask = (None if mask_bias is None
+                        else mask_bias[:, 0, 0, :] >= -1.0)
+            out = masked_flash_attention(q, k, v, key_mask).astype(self.dtype)
+            telemetry.record("attention", "pallas-flash")
+        else:
             out = dot_product_attention(q, k, v, mask_bias, dtype=self.dtype)
+            telemetry.record("attention", "xla-fused")
         out = out.transpose(0, 2, 1, 3).reshape(q_in.shape[:-1] + (d_model,))
         return nn.Dense(d_model, dtype=self.dtype, name="out")(out)
 

@@ -22,6 +22,22 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 NEG_INF = -1e30
 
+# Default dispatch policy, set from the measured A/B microbenchmark
+# (benchmarks/kernels_ab.py, table in docs/performance.md): at this suite's
+# sequence lengths (<=246) XLA's fused attention wins or ties, so the Pallas
+# kernel is off by default and MMVAE_TPU_FLASH_ATTN=1/0 overrides either way.
+_DEFAULT_ON = False
+
+
+def use_flash_attention() -> bool:
+    """Central dispatch policy for the Pallas flash-attention forward."""
+    import os
+
+    env = os.environ.get("MMVAE_TPU_FLASH_ATTN")
+    if env is not None:
+        return env == "1"
+    return _DEFAULT_ON and jax.default_backend() in ("tpu", "axon")
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int):
     # refs carry a leading block dim of 1 (one (batch*head) per program)

@@ -50,11 +50,18 @@ def kl_normal_std_fused(mu, scale):
 
 
 def _kl_impl(mu, scale):
-    if _INTERPRET or jax.default_backend() in ("tpu", "axon"):
+    from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+    on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
         try:
-            return _kl_pallas(mu, scale)
-        except Exception:
-            pass
+            out = _kl_pallas(mu, scale)
+            telemetry.record("kl", "pallas")
+            return out
+        except Exception as e:  # loud fallback — never silent
+            telemetry.record("kl", "jnp-error-fallback",
+                             note=f"{type(e).__name__}: {e}")
+    else:
+        telemetry.record("kl", "jnp", note="not on TPU")
     return _kl_reference(mu, scale)
 
 

@@ -64,11 +64,18 @@ def sample_normal_fused(mu, scale, seed):
 
 
 def _sample_impl(mu, scale, seed):
-    if _INTERPRET or jax.default_backend() in ("tpu", "axon"):
+    from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+    on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
         try:
-            return _sample_pallas(mu, scale, seed)
-        except Exception:
-            pass
+            out = _sample_pallas(mu, scale, seed)
+            telemetry.record("sample", "pallas")
+            return out
+        except Exception as e:  # loud fallback — never silent
+            telemetry.record("sample", "jnp-error-fallback",
+                             note=f"{type(e).__name__}: {e}")
+    else:
+        telemetry.record("sample", "jnp", note="not on TPU")
     key = jax.random.wrap_key_data(
         jnp.asarray([0, seed], jnp.uint32), impl="threefry2x32")
     eps = jax.random.normal(key, mu.shape, jnp.float32)

@@ -486,6 +486,7 @@ class Trainer:
         # when resumed from a checkpoint, skip the epochs already trained
         start_epoch = int(self.state.step) // max(
             self.datamodule.steps_per_epoch(), 1)
+        kernel_paths_logged = False
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             train_metrics = (self.run_epoch_scan(epoch) if scan
@@ -498,6 +499,14 @@ class Trainer:
                                          * self.cfg.batch_size
                                          / max(time.time() - t0, 1e-9))}
             self._log(epoch, metrics)
+            if not kernel_paths_logged:
+                # record which compute paths the traced programs actually
+                # contain (pallas vs jnp) next to the perf numbers
+                from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+                paths = telemetry.summary()
+                if log_fn and paths:
+                    log_fn(f"[kernels] trace-time dispatch: {paths}")
+                kernel_paths_logged = True
             if log_fn:
                 msg = " ".join(f"{k}={v:.4g}" for k, v in metrics.items()
                                if k in ("train_loss", "val_loss",
