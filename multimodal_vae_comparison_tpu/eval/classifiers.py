@@ -134,6 +134,22 @@ def classifier_accuracy(model, params, images, labels,
     return correct / len(images)
 
 
+def judge_calibration(model, params, images, labels, name: str = "judge",
+                      batch_size: int = 256) -> float:
+    """Judge accuracy on held-out REAL labeled data, as a fraction.
+
+    Every judged eval prints/stores this next to its judged metrics
+    (VERDICT round 2, item 6): a judged coherence number is only meaningful
+    relative to what the judge scores on real data — the round-2 SPRITES
+    incident (a 28%-accurate judge flooring every judged metric) is the
+    failure mode this guards against.
+    """
+    acc = classifier_accuracy(model, params, np.asarray(images),
+                              np.asarray(labels), batch_size=batch_size)
+    print(f"[judge] {name}_accuracy_real: {100 * acc:.1f}%")
+    return acc
+
+
 def predict(model, params, images, batch_size: int = 256) -> np.ndarray:
     preds = []
     for b in range(0, len(images), batch_size):

@@ -216,6 +216,31 @@ def calculate_cross_coherency(exp, classifiers, level: int, n: int = 250):
     return {"text_image": t2i, "image_text": i2t}
 
 
+def judge_calibration_cdsprites(exp, classifiers, level: int, n: int = 250,
+                                log_fn=print) -> float:
+    """Mean per-attribute judge accuracy on REAL held-out images — printed
+    next to the judged metrics so a weak judge can't silently floor them
+    (the round-2 SPRITES incident; VERDICT r2 item 6)."""
+    batch, labels = exp.get_test_samples(n)
+    texts = [" ".join(x) if isinstance(x, (list, tuple)) else str(x)
+             for x in labels]
+    mapping = _mod_mapping(batch)
+    images = (np.clip(np.asarray(batch[mapping["image"]]["data"]), 0, 1)
+              * 255).astype(np.uint8)
+    accs = []
+    for att in LEVEL_ATTRIBUTES[level]:
+        judged = eval_with_classifier(classifiers[att], images, att)
+        want = [get_attribute(att, t) for t in texts]
+        ok = [int(w is not None and j == w) for j, w in zip(judged, want)]
+        accs.append(100.0 * sum(ok) / max(len(ok), 1))
+    mean = float(np.mean(accs)) if accs else float("nan")
+    if log_fn:
+        per = ", ".join(f"{a}={v:.0f}" for a, v in
+                        zip(LEVEL_ATTRIBUTES[level], accs))
+        log_fn(f"[judge] cdsprites_judge_accuracy_real: {mean:.1f}% ({per})")
+    return mean
+
+
 def calculate_joint_coherency(exp, classifiers, level: int, n: int = 64,
                               source: str = "prior"):
     recons = exp.joint_generate(n, source=source)
@@ -264,6 +289,8 @@ def eval_single_model(exp, n_samples: int = 250, log_fn=print) -> Dict:
     classifiers = get_all_classifiers(exp, level, log_fn)
     if log_fn:
         log_fn("Calculating CdSprites+ automatic statistics")
+    calibration = judge_calibration_cdsprites(exp, classifiers, level,
+                                              n_samples, log_fn)
     cross = calculate_cross_coherency(exp, classifiers, level, n_samples)
     joint = calculate_joint_coherency(exp, classifiers, level)
     # ex-post (aggregate-posterior) sampling, reported alongside the
@@ -283,7 +310,8 @@ def eval_single_model(exp, n_samples: int = 250, log_fn=print) -> Dict:
            "Joint Strict": {"value": joint["joint"][0], "stdev": None},
            "Joint Features": {"value": joint["joint"][1], "stdev": None},
            "Joint Strict ExPost": {"value": joint_xp["joint"][0], "stdev": None},
-           "Joint Features ExPost": {"value": joint_xp["joint"][1], "stdev": None}}
+           "Joint Features ExPost": {"value": joint_xp["joint"][1], "stdev": None},
+           "Judge Accuracy Real": {"value": calibration, "stdev": None}}
     run_dir = getattr(exp, "run_dir", None) or exp.config.mPath
     if run_dir:
         print_save_stats(out, run_dir, "cdspritesplus", level)
@@ -332,7 +360,7 @@ def eval_over_seeds(parent_dir: str, level: int = 0) -> Dict:
                             "Image-Text Strict", "Image-Text Features",
                             "Image-Text Letters", "Joint Strict",
                             "Joint Features", "Joint Strict ExPost",
-                            "Joint Features ExPost"]}
+                            "Joint Features ExPost", "Judge Accuracy Real"]}
     for m in sorted(listdirs(parent_dir), key=last_letter):
         try:
             exp = MultimodalVAEInfer(m)

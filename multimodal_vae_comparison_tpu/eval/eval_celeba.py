@@ -50,6 +50,12 @@ def celeba_eval(trainer_or_infer) -> Dict[str, float]:
     batch, _ = exp.get_test_samples(n)
     atts_gt = np.argmax(np.asarray(batch[mapping["atts"]]["data"]), -1)
     stats = {}
+    # judge calibration on held-out REAL images (VERDICT r2 item 6)
+    pred_real = predict(model, params,
+                        np.asarray(batch[mapping["image"]]["data"]))
+    stats["judge_accuracy_real"] = float((pred_real == atts_gt).mean())
+    print(f"[judge] celeba_judge_accuracy_real: "
+          f"{100 * stats['judge_accuracy_real']:.1f}%")
     recons = exp.cross_generate(mapping["atts"], batch[mapping["atts"]]["data"])
     pred = predict(model, params, recons[mapping["image"]])
     stats["atts_to_image_strict"] = float((pred == atts_gt).all(-1).mean())

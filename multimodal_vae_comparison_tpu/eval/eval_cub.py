@@ -20,7 +20,7 @@ import numpy as np
 
 from multimodal_vae_comparison_tpu.data import text as text_utils
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, predict)
+    CNNClassifier, get_or_train_classifier, judge_calibration, predict)
 
 FACTORS = {
     "size": ["small", "large"],
@@ -99,6 +99,10 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
         np.asarray(batch[mapping["text"]]["data"]),
         np.asarray(batch[mapping["text"]]["masks"]))
     stats = {}
+    # judge calibration on held-out REAL images (VERDICT r2 item 6)
+    stats["judge_accuracy_real"] = judge_calibration(
+        model, params, np.asarray(batch[mapping["image"]]["data"]),
+        _color_labels(gt_caps), name="cub_color")
     # image -> caption: factor-word recall + letter accuracy
     recons = exp.cross_generate(mapping["image"],
                                 batch[mapping["image"]]["data"])

@@ -13,7 +13,7 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, predict)
+    CNNClassifier, get_or_train_classifier, judge_calibration, predict)
 from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
     latent_digit_accuracy)
 
@@ -43,6 +43,10 @@ def fashionmnist_eval(trainer_or_infer) -> Dict[str, float]:
     batch, _ = exp.get_test_samples(n)
     y = np.argmax(np.asarray(batch[mapping["label"]]["data"]), -1)
     stats = {"latent_accuracy": latent_digit_accuracy(exp)}
+    # judge calibration on held-out REAL images (VERDICT r2 item 6)
+    stats["judge_accuracy_real"] = judge_calibration(
+        model, params, np.asarray(batch[mapping["image"]]["data"]), y,
+        name="fashionmnist")
     recons = exp.cross_generate(mapping["label"],
                                 batch[mapping["label"]]["data"])
     pred = predict(model, params, recons[mapping["image"]])

@@ -22,7 +22,7 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier)
+    CNNClassifier, get_or_train_classifier, judge_calibration)
 from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
     cross_coherence, joint_coherence, latent_digit_accuracy)
 
@@ -51,6 +51,14 @@ def polymnist_eval(trainer_or_infer) -> Dict[str, float]:
         os.path.dirname(os.path.abspath(__file__)), "classifiers"))
     classifiers = _digit_classifiers(exp, cache_dir)
     stats = {"latent_accuracy": latent_digit_accuracy(exp)}
+    # judge calibration on held-out REAL samples (VERDICT r2 item 6)
+    batch, labels = exp.get_test_samples(min(500, exp.datamod.n_val))
+    y = np.asarray(labels[: len(batch[exp.mod_names[0]]["data"])])
+    cals = [judge_calibration(classifiers[name][0], classifiers[name][1],
+                              np.asarray(batch[name]["data"]), y,
+                              name=f"polymnist_{name}")
+            for name in exp.mod_names]
+    stats["judge_accuracy_real_mean"] = float(np.mean(cals))
     pairwise = cross_coherence(exp, classifiers, n=500)
     stats["cross_coherence_mean"] = float(np.mean(list(pairwise.values())))
     stats.update(pairwise)

@@ -131,6 +131,14 @@ def sprites_eval(trainer_or_infer) -> Dict[str, float]:
     pred_real = predict(att_model, att_params,
                         np.asarray(batch[mapping["frames"]]["data"]))
     stats["att_judge_accuracy_real"] = float((pred_real == atts_gt).mean())
+    print(f"[judge] sprites_att_judge_accuracy_real: "
+          f"{100 * stats['att_judge_accuracy_real']:.1f}%")
+    pred_real_act = predict(act_model, act_params,
+                            np.asarray(batch[mapping["frames"]]["data"]))
+    stats["action_judge_accuracy_real"] = float(
+        (pred_real_act == actions_gt).mean())
+    print(f"[judge] sprites_action_judge_accuracy_real: "
+          f"{100 * stats['action_judge_accuracy_real']:.1f}%")
     # actions -> frames: video classifier judges the generated video's action
     recons = exp.cross_generate(mapping["actions"],
                                 batch[mapping["actions"]]["data"])
