@@ -49,7 +49,7 @@ def _noise_texture(rng, base: int, size: int = 64, amp: int = 45) -> np.ndarray:
 
 def _draw_shape(canvas: np.ndarray, shape: str, center: Tuple[int, int],
                 radius: int, color: Tuple[int, int, int],
-                texture: np.ndarray = None) -> None:
+                texture: np.ndarray = None, angle: float = 0.0) -> None:
     import cv2
     mask = np.zeros(canvas.shape[:2], np.uint8)
     cx, cy = center
@@ -69,6 +69,11 @@ def _draw_shape(canvas: np.ndarray, shape: str, center: Tuple[int, int],
                         [cx + radius, top + int(r * 0.4)],
                         [cx, cy + radius]], np.int32)
         cv2.fillPoly(mask, [pts], 255)
+    if angle:
+        # dsprites varies orientation over the full circle
+        # (cdSprites.py latent_spec 'orientation': range(45))
+        rot = cv2.getRotationMatrix2D((float(cx), float(cy)), float(angle), 1.0)
+        mask = cv2.warpAffine(mask, rot, (mask.shape[1], mask.shape[0]))
     fill = np.empty_like(canvas)
     fill[:] = color
     if texture is not None:
@@ -77,29 +82,56 @@ def _draw_shape(canvas: np.ndarray, shape: str, center: Tuple[int, int],
     canvas[mask > 0] = fill[mask > 0]
 
 
-def make_sample(rng, level: int, size: int = 64) -> Tuple[np.ndarray, str]:
-    shape = SHAPES[rng.integers(len(SHAPES))]
-    size_name = ("big" if level < 2 else
-                 list(SIZES)[rng.integers(2)])
-    color_name = "white" if level < 3 else LEVEL_COLORS[rng.integers(5)]
-    if level < 4:
-        pos_name = None
-        center = (int(rng.integers(20, 44)), int(rng.integers(20, 44)))
+# Per-level factor specs — key order and values mirror the reference's
+# config_levelN.json product order (cdSprites.py extract_label_groups:
+# scale x colors x shapes [x position] [x background]), with per-combination
+# sample counts from each JSON's samples_num (total = 30,000 per level).
+LEVEL_SPECS = {
+    1: {"scale": ["big"], "colors": ["white"],
+        "shapes": ["square", "ellipse", "heart"],
+        "position": [None], "background": [None], "per_combo": 10000},
+    2: {"scale": ["big", "small"], "colors": ["white"],
+        "shapes": ["square", "ellipse", "heart"],
+        "position": [None], "background": [None], "per_combo": 5000},
+    3: {"scale": ["small", "big"],
+        "colors": ["red", "green", "yellow", "blue", "pink"],
+        "shapes": ["square", "ellipse", "heart"],
+        "position": [None], "background": [None], "per_combo": 1000},
+    4: {"scale": ["small", "big"],
+        "colors": ["yellow", "green", "blue", "red", "pink"],
+        "shapes": ["heart", "ellipse", "square"],
+        "position": list(POSITIONS), "background": [None], "per_combo": 250},
+    5: {"scale": ["big", "small"],
+        "colors": ["red", "green", "yellow", "pink", "blue"],
+        "shapes": ["square", "ellipse", "heart"],
+        "position": list(POSITIONS), "background": list(BACKGROUNDS),
+        "per_combo": 125},
+}
+
+
+def render_sample(rng, level: int, size_name: str, color_name: str,
+                  shape: str, pos_name, bg_name,
+                  size: int = 64) -> Tuple[np.ndarray, str]:
+    """Render one image for an explicit factor combination and build its
+    caption in the reference's word order (folder-name order,
+    cdSprites.py:270-278)."""
+    if pos_name is None:
+        # levels 1-3: dsprites position is free over the full grid
+        # (latent_spec x/y in [5..29] of 32 -> ~pixels 10..58)
+        center = (int(rng.integers(12, 53)), int(rng.integers(12, 53)))
     else:
-        pos_name = list(POSITIONS)[rng.integers(4)]
         base = POSITIONS[pos_name]
         center = (base[0] + int(rng.integers(-3, 4)),
                   base[1] + int(rng.integers(-3, 4)))
-    bg_name = None if level < 5 else list(BACKGROUNDS)[rng.integers(2)]
-
     if bg_name is None:
         canvas = np.zeros((size, size, 3), np.uint8)
     else:
         canvas = np.repeat(_noise_texture(
             rng, BACKGROUNDS[bg_name])[..., None], 3, -1)
-    texture = _noise_texture(rng, 170, amp=70) if level >= 4 else None
+    texture = _noise_texture(rng, 170, amp=70) if level >= 3 else None
+    angle = float(rng.uniform(0, 360))
     _draw_shape(canvas, shape, center, SIZES[size_name],
-                COLORS[color_name], texture)
+                COLORS[color_name], texture, angle=angle)
 
     caption = shape
     if level >= 2:
@@ -113,21 +145,54 @@ def make_sample(rng, level: int, size: int = 64) -> Tuple[np.ndarray, str]:
     return canvas, caption
 
 
+def make_sample(rng, level: int, size: int = 64) -> Tuple[np.ndarray, str]:
+    """One i.i.d. sample (kept for fixtures/tests); training-set generation
+    uses the reference's balanced product enumeration in generate_level."""
+    spec = LEVEL_SPECS[level]
+    return render_sample(
+        rng, level,
+        spec["scale"][rng.integers(len(spec["scale"]))],
+        spec["colors"][rng.integers(len(spec["colors"]))],
+        spec["shapes"][rng.integers(len(spec["shapes"]))],
+        spec["position"][rng.integers(len(spec["position"]))],
+        spec["background"][rng.integers(len(spec["background"]))],
+        size=size)
+
+
 def generate_level(level: int, count: int, out_dir: str, seed: int = 0,
                    test_fraction: float = 0.1) -> str:
-    """Write level directory with traindata.h5 (+ testdata.h5)."""
+    """Write level directory with traindata.h5 (+ testdata.h5).
+
+    Sampling structure mirrors the reference generator: enumerate the
+    cartesian product of the level's factors in the JSON-spec order and
+    emit an equal number of samples per combination
+    (cdSprites.py extract_label_groups + samples_num), scaled so the total
+    matches ``count``.  Pass count=30000 for the reference's exact totals.
+    """
+    import itertools
+
     import h5py
     rng = np.random.default_rng(seed + level)
     level_dir = os.path.join(out_dir, f"level{level}")
     os.makedirs(level_dir, exist_ok=True)
+    spec = LEVEL_SPECS[level]
+    combos = list(itertools.product(spec["scale"], spec["colors"],
+                                    spec["shapes"], spec["position"],
+                                    spec["background"]))
     for split, n in (("traindata", count),
                      ("testdata", max(int(count * test_fraction), 1))):
-        imgs = np.zeros((n, 64, 64, 3), np.uint8)
+        per_combo = max(n // len(combos), 1)
+        n_total = per_combo * len(combos)
+        imgs = np.zeros((n_total, 64, 64, 3), np.uint8)
         caps: List[bytes] = []
-        for i in range(n):
-            img, cap = make_sample(rng, level)
-            imgs[i] = img
-            caps.append(cap.encode("utf8"))
+        i = 0
+        for size_name, color_name, shape, pos_name, bg_name in combos:
+            for _ in range(per_combo):
+                img, cap = render_sample(rng, level, size_name, color_name,
+                                         shape, pos_name, bg_name)
+                imgs[i] = img
+                caps.append(cap.encode("utf8"))
+                i += 1
         with h5py.File(os.path.join(level_dir, f"{split}.h5"), "w") as f:
             f.create_dataset("image", data=imgs)
             f.create_dataset("text", data=np.array(caps))
