@@ -133,3 +133,45 @@ def test_megatron_sharded_forward_matches_replicated():
     out = jax.jit(model.apply)(p_sh, x_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_per_device_program_shrinks_with_mesh():
+    """Fixed global batch, growing data mesh: the per-device XLA program's
+    FLOPs must shrink ~1/N (throughput-shape evidence, VERDICT r2 item 7).
+
+    GSPMD partitions the module, so compiled cost_analysis reports the
+    per-device work; at N=8 it must be well under half the N=1 program.
+    """
+    import optax
+    from multimodal_vae_comparison_tpu.models import get_mixing
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+    from multimodal_vae_comparison_tpu.training.trainer import (
+        TrainState, make_train_step)
+
+    specs = (ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                          feature_dims=(32,), recon_loss="mse"),
+             ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                          feature_dims=(8,), recon_loss="mse"))
+    model = get_mixing("poe")(specs=specs, n_latents=4)
+    batch = {"mod_1": {"data": np.ones((64, 32), np.float32), "masks": None},
+             "mod_2": {"data": np.ones((64, 8), np.float32), "masks": None}}
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng}, batch,
+                        method=model.objective)
+    tx = optax.sgd(0.1)
+
+    def per_device_flops(n):
+        mesh = make_mesh(n)
+        p = shard_params(jax.tree_util.tree_map(jnp.array, params), mesh)
+        b = shard_batch(batch, mesh)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, tx)
+        ca = step.lower(state, b, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    f1 = per_device_flops(1)
+    f8 = per_device_flops(8)
+    assert f8 < f1 / 2, (f1, f8)
