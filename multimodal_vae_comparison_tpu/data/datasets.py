@@ -492,8 +492,11 @@ class VILANRO(BaseDataset):
 
     feature_dims = {"front RGB": [64, 64, 3], "objects": [1, 3],
                     "actions": [100, 4, 1], "language": [4, 9, 1],
-                    "shapes": [2, 6], "colors": [2, 6]}
+                    "shapes": [2, 6], "colors": [2, 6],
+                    "action_tokens": [100, 4, 41]}
     text2img_size = (64, 250, 3)
+    # discretized-action-token vocabulary size (per action dimension)
+    ACTION_BINS = 41
 
     def __init__(self, pth, testpth, mod_type):
         super().__init__(pth, testpth, mod_type)
@@ -520,14 +523,16 @@ class VILANRO(BaseDataset):
     def _mod_specific_loaders(self):
         return {"front RGB": self._load_rgb, "actions": self._load_actions,
                 "language": self._load_lang, "objects": self._load_atts,
-                "shapes": self._load_atts, "colors": self._load_atts}
+                "shapes": self._load_atts, "colors": self._load_atts,
+                "action_tokens": self._load_action_tokens}
 
     def _mod_specific_savers(self):
         return {"front RGB": self._decode_image,
                 "actions": lambda d, m=None: d,
                 "objects": lambda d, m=None: d,
                 "language": self._decode_lang,
-                "shapes": self._decode_atts, "colors": self._decode_atts}
+                "shapes": self._decode_atts, "colors": self._decode_atts,
+                "action_tokens": self._decode_action_tokens}
 
     def _load_rgb(self):
         d = np.asarray(self.get_data_raw()).astype(np.float32)
@@ -569,6 +574,47 @@ class VILANRO(BaseDataset):
         data = self.get_data_raw()
         return np.stack([text_utils.one_hot_encode_words(self.vocab_atts, f)
                          for f in data]).astype(np.float32), None
+
+    def _load_action_tokens(self):
+        """Discretized action tokens: each continuous action dimension is
+        binned into ``ACTION_BINS`` per-dimension empirical-quantile bins and
+        one-hot encoded — (N, T, A) floats become (N, T, A, K) tokens trained
+        with ``category_ce``.
+
+        Round-2 closed-loop diagnosis: mean-decoded regression trajectories
+        suffer a systematic magnitude shrink (multimodal expert data pulls
+        the Gaussian mean toward zero); a categorical head has no such
+        shrink — the argmax token IS a real action value.  Same lever as
+        discretized action heads in robot policy transformers.  Quantile
+        (not uniform) edges give every token equal mass under the expert
+        action distribution, so resolution concentrates where the expert
+        actually operates.
+        """
+        self.categorical = True
+        cont, masks = self._load_actions()               # (N, T, A), (N, T)
+        K = self.ACTION_BINS
+        A = cont.shape[-1]
+        valid = cont[masks]                              # (M, A) real steps
+        qs = np.linspace(0.0, 1.0, K + 1)
+        edges = np.quantile(valid, qs, axis=0)           # (K+1, A)
+        # centers for de-tokenization; interior edges for digitize
+        self.action_bin_centers = (0.5 * (edges[:-1] + edges[1:])
+                                   ).astype(np.float32)  # (K, A)
+        idx = np.stack([np.digitize(cont[..., a], edges[1:-1, a])
+                        for a in range(A)], axis=-1)     # (N, T, A) in [0,K)
+        self.feature_dims["action_tokens"] = [cont.shape[1], A, K]
+        return np.eye(K, dtype=np.float32)[idx], masks
+
+    def _decode_action_tokens(self, data, masks=None):
+        """(…, T, A, K) token scores -> continuous (…, T, A) actions via
+        per-dimension argmax bin centers (inverse of _load_action_tokens)."""
+        idx = np.asarray(data).argmax(-1)                # (..., T, A)
+        centers = self.action_bin_centers                # (K, A)
+        out = np.stack([centers[idx[..., a], a]
+                        for a in range(idx.shape[-1])], axis=-1)
+        if masks is not None:
+            out = out * np.asarray(masks, out.dtype)[..., None]
+        return out
 
     def _decode_lang(self, data, masks=None):
         idx = np.asarray(data).argmax(-1)

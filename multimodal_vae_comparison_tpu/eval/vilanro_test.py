@@ -40,12 +40,14 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     # modality roles from config mod_types
     mapping = {m.mod_type: m.name for m in exp.config.mods}
     lang_mod = mapping.get("language")
-    act_mod = mapping.get("actions")
+    act_mod = mapping.get("actions") or mapping.get("action_tokens")
+    act_tokens = "action_tokens" in mapping
     img_mod = mapping.get("front RGB") or mapping.get("image")
     assert lang_mod and act_mod and img_mod, (
         f"expected language/actions/front RGB modalities, got {mapping}")
     lang_idx = int(lang_mod.split("_")[1]) - 1
     lang_ds = exp.datamod.datasets[lang_idx]
+    act_ds = exp.datamod.datasets[int(act_mod.split("_")[1]) - 1]
     vocab = lang_ds.vocab
     lang_dims = exp.config.mods[lang_idx].feature_dims
 
@@ -68,7 +70,12 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
             lang_mod: {"data": onehots, "masks": masks},
         }
         out = exp.forward(inputs, present=(img_mod, lang_mod))
-        return np.asarray(out.mods[act_mod].decoder_dist.mean[0])  # (B,T,A)
+        raw = np.asarray(out.mods[act_mod].decoder_dist.mean[0])
+        if act_tokens:
+            # (B,T,A,K) token scores -> argmax bin centers (B,T,A); the
+            # categorical head has no regression-to-the-mean shrink
+            return act_ds.decode_output(raw)
+        return raw  # (B,T,A) regression mean
 
     obs = [env.reset() for env in envs]
     trajs = predict_trajs(obs)

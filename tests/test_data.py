@@ -119,3 +119,44 @@ def test_dataset_registry():
     for name in ["cub", "mnist_svhn", "sprites", "celeba", "fashionmnist",
                  "polymnist", "vilanro", "synthetic"]:
         assert get_dataset_class(name) is not None
+
+
+def test_vilanro_action_tokens_roundtrip(tmp_path):
+    """Quantile-discretized action tokens: load -> one-hot -> decode recovers
+    the continuous trajectory to within one bin width; padding stays zero."""
+    import pickle
+
+    from multimodal_vae_comparison_tpu.data.datasets import VILANRO
+
+    rng = np.random.default_rng(0)
+    # variable-length (L, 4) expert-like trajectories: small deltas + gripper
+    trajs = []
+    for _ in range(40):
+        L = int(rng.integers(4, 20))
+        xyz = rng.normal(0, 0.08, (L, 3)).clip(-1, 1)
+        grip = np.full((L, 1), 1.0)
+        trajs.append(np.concatenate([xyz, grip], -1).astype(np.float32))
+    with open(tmp_path / "endeff_actions_final.pkl", "wb") as f:
+        pickle.dump(trajs, f)
+    (tmp_path / "vocab.txt").write_text("reach\nthe\nred\nblock\n")
+
+    ds = VILANRO(str(tmp_path / "endeff_actions_final.pkl"), None,
+                 "action_tokens")
+    data, masks = ds.get_data("train")
+    K = ds.ACTION_BINS
+    assert data.shape == (40, 100, 4, K)
+    assert ds.feature_dims["action_tokens"] == [100, 4, K]
+    # one-hot: exactly one token per (step, dim)
+    np.testing.assert_array_equal(data.sum(-1), np.ones((40, 100, 4)))
+
+    decoded = ds.decode_output(data, masks)
+    assert decoded.shape == (40, 100, 4)
+    # real steps recovered within a bin width; quantile bins concentrate
+    # resolution where the expert operates, so the error is small
+    for i, t in enumerate(trajs):
+        L = min(len(t), 100)
+        err = np.abs(decoded[i, :L] - t[:L])
+        assert err.max() < 0.1, err.max()
+        assert np.median(err) < 0.02
+    # padded steps decode to zero under the mask
+    np.testing.assert_array_equal(decoded[~np.asarray(masks)], 0.0)
