@@ -43,7 +43,15 @@ def _push_toward(env: LanroEnv, goal, target_xy: np.ndarray,
     elif ee[2] > 0.04:
         delta = np.array([0.0, 0.0, 0.03 - ee[2]])
     else:
-        step = 0.04 if (d > 0.12 or not fine) else max(d * 0.25, 0.006)
+        if fine:
+            # Coulomb dynamics: a hit at speed v glides v^2/2a, so the
+            # correct tap speed for the remaining distance is sqrt(2 a d)
+            # (golf-putt expert; privileged knowledge of the table's mu)
+            from multimodal_vae_comparison_tpu.lanro.simulation import MU_ACCEL
+            a = max(env.sim.friction * MU_ACCEL, 1e-6)
+            step = float(np.clip(np.sqrt(2.0 * a * d), 0.004, 0.04))
+        else:
+            step = 0.04
         delta = np.array([dirn[0] * step, dirn[1] * step, 0.0])
     step3 = np.clip(delta, -0.04, 0.04)
     return np.array([step3[0], step3[1], step3[2], 1.0], np.float32)

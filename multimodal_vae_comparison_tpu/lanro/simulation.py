@@ -28,6 +28,14 @@ WORKSPACE = np.array([[-0.3, 0.3], [-0.3, 0.3], [0.0, 0.3]])  # x, y, z bounds
 MAX_STEP = 0.04          # max EE displacement per step (m)
 MAX_JOINT_STEP = 0.15    # max per-joint delta per step (rad)
 GRASP_RADIUS = 0.05      # proximity for a successful grasp
+# Coulomb kinetic friction: per-step velocity decrement = friction * MU_ACCEL
+# (normalized mu*g*dt^2).  friction=1.0 (push/stack tables) stops an object
+# within one step of losing contact — quasi-static pushing; friction=0.05
+# (the Slide task's pucks, reference tasks/slide.py lateral_friction=0.1)
+# lets a full-speed 0.04 hit glide ~0.35 m.
+MU_ACCEL = 0.045
+RESTITUTION = 0.2        # object-object collision bounciness
+GRAVITY_STEP = 0.03      # fall speed (m/step) for unsupported objects
 
 SHAPE_IDS = ["cube", "cylinder", "sphere"]
 COLOR_MAP = {"red": (200, 40, 40), "green": (40, 180, 60),
@@ -104,12 +112,13 @@ class KinematicSimulation:
                         -MAX_STEP, MAX_STEP)
         target_ee = np.clip(self.ee + delta,
                             WORKSPACE[:, 0], WORKSPACE[:, 1])
+        prev_ee = self.ee.copy()
         if self.use_arm:
             self.joints = self.arm.ik(self.joints, target_ee)
             self.ee = self.arm.fk(self.joints)
         else:
             self.ee = target_ee
-        self._post_motion(float(action[3]))
+        self._post_motion(float(action[3]), self.ee - prev_ee)
 
     def joint_step(self, action: np.ndarray) -> None:
         """``relative_joints`` mode (reference panda.py:23): action = 7 joint
@@ -119,34 +128,78 @@ class KinematicSimulation:
             * MAX_JOINT_STEP
         self.joints = np.clip(self.joints + dq,
                               JOINT_LIMITS[:, 0], JOINT_LIMITS[:, 1])
+        prev_ee = self.ee.copy()
         self.ee = self.arm.fk(self.joints)
-        self._post_motion(float(action[NUM_DOF]))
+        self._post_motion(float(action[NUM_DOF]), self.ee - prev_ee)
 
-    def _post_motion(self, gripper_cmd: float) -> None:
+    def _post_motion(self, gripper_cmd: float,
+                     ee_move: Optional[np.ndarray] = None) -> None:
+        """Contact resolution + impulse dynamics (round 3: force-based, not
+        scripted displacement — VERDICT r2 item 8).
+
+        The integration scheme per step: (1) EE->object contact resolves
+        penetration along the contact normal and transfers the EE velocity's
+        normal component as an impulse; (2) pairwise object-object circle
+        collisions de-overlap and exchange normal momentum (equal mass,
+        restitution); (3) velocities integrate under Coulomb kinetic
+        friction (constant deceleration, not exponential decay — glide
+        distance is v^2/2a like a real puck); (4) unsupported objects fall.
+        """
         self.gripper = float(np.clip((gripper_cmd + 1) / 2, 0.0, 1.0))
-        # push contact: an open gripper sweeping into an object imparts
-        # velocity; friction decides whether it stops (push) or glides (slide)
-        for obj in self.objects:
-            if obj.grasped:
-                continue
-            gap = self.ee[:2] - obj.pos[:2]
+        if ee_move is None:
+            ee_move = np.zeros(3)
+        mu_a = self.friction * MU_ACCEL
+        free = [o for o in self.objects if not o.grasped]
+        # (1) EE contact: penetration resolution + momentum transfer
+        for obj in free:
+            gap = obj.pos[:2] - self.ee[:2]
             dist = np.linalg.norm(gap)
             contact = obj.size + 0.015
             if dist < contact and self.ee[2] < 0.08:
-                direction = -gap / (dist + 1e-9)
-                obj.pos[:2] = obj.pos[:2] + direction * (contact - dist)
-                # impulse capped for stability: a deep sweep can't launch the
-                # object across the table in one step
-                obj.vel = direction * min((contact - dist) * 2.0, 0.02)
-        # integrate object velocities with friction decay
-        for obj in self.objects:
-            if obj.grasped or not np.any(obj.vel):
+                n = gap / (dist + 1e-9)
+                obj.pos[:2] = obj.pos[:2] + n * (contact - dist)
+                # impulse: the object leaves contact with at least the EE's
+                # velocity along the contact normal (quasi-inelastic push)
+                v_n = max(float(np.dot(ee_move[:2], n)), 0.0)
+                along = float(np.dot(obj.vel, n))
+                if v_n > along:
+                    obj.vel = obj.vel + (v_n - along) * n
+        # (2) integrate velocities under Coulomb friction
+        for obj in free:
+            if not np.any(obj.vel):
                 continue
             obj.pos[:2] = np.clip(obj.pos[:2] + obj.vel,
                                   WORKSPACE[:2, 0], WORKSPACE[:2, 1])
-            obj.vel = obj.vel * (1.0 - self.friction)
-            if np.linalg.norm(obj.vel) < 1e-4:
+            speed = float(np.linalg.norm(obj.vel))
+            if speed <= mu_a:
                 obj.vel = np.zeros(2)
+            else:
+                obj.vel = obj.vel * (1.0 - mu_a / speed)
+        # (3) object-object collisions, resolved post-move so no step ends
+        # with interpenetration (same-height circles, equal mass)
+        for i in range(len(free)):
+            for j in range(i + 1, len(free)):
+                a, b = free[i], free[j]
+                if abs(a.pos[2] - b.pos[2]) > a.size + b.size:
+                    continue  # stacked, not lateral contact
+                gap = b.pos[:2] - a.pos[:2]
+                dist = np.linalg.norm(gap)
+                overlap = (a.size + b.size) - dist
+                if overlap <= 0:
+                    continue
+                n = gap / (dist + 1e-9)
+                a.pos[:2] -= n * overlap / 2
+                b.pos[:2] += n * overlap / 2
+                closing = float(np.dot(a.vel - b.vel, n))
+                if closing > 0:
+                    imp = (1.0 + RESTITUTION) / 2.0 * closing
+                    a.vel = a.vel - imp * n
+                    b.vel = b.vel + imp * n
+        # (4) gravity: objects without support fall toward their rest height
+        for obj in free:
+            rest = self._rest_height(obj)
+            if obj.pos[2] > rest + 1e-9:
+                obj.pos[2] = max(rest, obj.pos[2] - GRAVITY_STEP)
         # grasp / release / stack
         for obj in self.objects:
             if obj.grasped:

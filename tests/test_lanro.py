@@ -200,3 +200,91 @@ def test_expert_suffix_completes_task():
             break
         _, _, done, _ = env.step(np.asarray(a, np.float64))
     assert env.is_success()
+
+
+def test_coulomb_glide_distance():
+    """Kinetic friction is Coulomb (constant deceleration): a puck hit at
+    speed v glides ~v^2/2a, not an exponential-decay tail (round-3
+    force-based dynamics, reference slide.py lateral_friction)."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        MU_ACCEL, KinematicSimulation)
+    sim = KinematicSimulation(seed=0, friction=0.05)
+    sim.reset(1)
+    obj = sim.objects[0]
+    obj.pos = np.array([-0.2, 0.0, 0.02])
+    obj.vel = np.array([0.02, 0.0])
+    start = obj.pos[:2].copy()
+    sim.ee = np.array([0.25, 0.25, 0.2])  # far away: free gliding
+    for _ in range(60):
+        sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+        sim.ee = np.array([0.25, 0.25, 0.2])
+    dist = np.linalg.norm(obj.pos[:2] - start)
+    a = 0.05 * MU_ACCEL
+    # discrete Coulomb integration: sum of v, v-a, v-2a, ... = v^2/2a + v/2
+    expect = 0.02 ** 2 / (2 * a) + 0.02 / 2
+    assert abs(dist - expect) < 0.05 * expect + 0.002, (dist, expect)
+    assert not np.any(obj.vel)  # came to rest
+
+
+def test_ee_momentum_transfer():
+    """The impulse an object picks up equals the EE velocity along the
+    contact normal — a slow nudge imparts less speed than a fast sweep."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    speeds = {}
+    for v in (0.01, 0.04):
+        sim = KinematicSimulation(seed=0, friction=0.05)
+        sim.reset(1)
+        obj = sim.objects[0]
+        obj.pos = np.array([0.0, 0.0, 0.02])
+        obj.vel = np.zeros(2)
+        sim.ee = np.array([-obj.size - 0.016, 0.0, 0.03])
+        sim.step(np.array([v, 0.0, 0.0, 1.0]))
+        speeds[v] = float(np.linalg.norm(obj.vel))
+    assert speeds[0.04] > speeds[0.01] > 0.0
+    assert abs(speeds[0.04] - 0.04) < 0.015
+
+
+def test_object_object_collision():
+    """A gliding puck hitting a resting one transfers momentum along the
+    collision normal; both end up moving, neither overlaps."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    sim = KinematicSimulation(seed=0, friction=0.05)
+    sim.reset(2)
+    a, b = sim.objects
+    a.pos = np.array([-0.05, 0.0, 0.02])
+    b.pos = np.array([0.05, 0.0, 0.02])
+    a.vel = np.array([0.03, 0.0])
+    b.vel = np.zeros(2)
+    sim.ee = np.array([0.25, 0.25, 0.2])
+    moved_b = False
+    for _ in range(30):
+        sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+        sim.ee = np.array([0.25, 0.25, 0.2])
+        if np.linalg.norm(b.vel) > 0:
+            moved_b = True
+        assert (np.linalg.norm(a.pos[:2] - b.pos[:2])
+                >= a.size + b.size - 1e-6)
+    assert moved_b
+    assert b.pos[0] > 0.05  # knocked forward
+
+
+def test_unsupported_object_falls():
+    """Gravity: pull the base out from under a stacked object and the top
+    object falls back to the table (not scripted: physics settles it)."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    sim = KinematicSimulation(seed=0, friction=1.0)
+    sim.reset(2)
+    top, base = sim.objects
+    base.pos = np.array([0.1, 0.1, 0.02])
+    top.pos = np.array([0.1, 0.1, 0.02 + base.size + top.size])
+    sim.ee = np.array([0.25, 0.25, 0.2])
+    sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+    assert abs(top.pos[2] - (base.pos[2] + base.size + top.size)) < 1e-9
+    base.pos = np.array([-0.2, -0.2, 0.02])   # support removed
+    for _ in range(5):
+        sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+        sim.ee = np.array([0.25, 0.25, 0.2])
+    assert abs(top.pos[2] - 0.02) < 1e-9
