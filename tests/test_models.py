@@ -186,3 +186,55 @@ def test_llik_scaling_affects_loss():
     model2, params2 = make(POE)
     loss_plain, _ = run_objective(model2, params2)
     assert abs(float(loss_scaled)) > abs(float(loss_plain))
+
+
+def test_action_token_modality_trains():
+    """VILANRO discretized-action-token modality end-to-end: Transformer
+    enc/dec over a (T, A, K) token grid with category_ce + padding masks;
+    a few optimizer steps must reduce the loss."""
+    import optax
+
+    T, A, K = 6, 2, 5
+    sp = (
+        ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                     feature_dims=(10,), mod_type="data", recon_loss="mse"),
+        ModalitySpec(name="mod_2", encoder="Transformer",
+                     decoder="Transformer", feature_dims=(T, A, K),
+                     mod_type="action_tokens", recon_loss="category_ce",
+                     has_masks=True),
+    )
+    model = POE(specs=sp, n_latents=N_LATENTS, obj="elbo", K=1, beta=1.0)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        np.eye(K, dtype=np.float32)[rng.integers(0, K, (B, T, A))])
+    bt = {"mod_1": {"data": jax.random.normal(jax.random.PRNGKey(0), (B, 10)),
+                    "masks": None},
+          "mod_2": {"data": tokens,
+                    "masks": jnp.array([[True] * 4 + [False] * 2] * B)}}
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, bt, method=model.objective)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            loss, _ = model.apply(p, bt, rngs={"sample": key},
+                                  method=model.objective)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # decoder emits a token grid, and argmax decoding has valid bin indices
+    out = model.apply(params, bt, rngs={"sample": jax.random.PRNGKey(9)},
+                      method=model.forward, present=("mod_1", "mod_2"))
+    dec = np.asarray(out.mods["mod_2"].decoder_dist.mean)
+    assert dec.shape[-2:] == (A, K)
+    assert dec.argmax(-1).max() < K

@@ -102,3 +102,27 @@ def test_dreg_weights_sum_to_one_over_k():
     w = objectives.dreg_grad_weights(lw)
     np.testing.assert_allclose(np.asarray(w.sum(0)), 1.0, rtol=1e-5)
     assert np.isfinite(float(dreg(lw)))
+
+
+def test_category_ce_token_grid_with_seq_mask():
+    """Action-token shape (B, T, A, K): softmax over the bin axis only, and
+    a (B, T) padding mask zeroes whole timesteps across all A dims."""
+    B, T, A, K = 2, 4, 3, 5
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, K, (B, T, A))
+    target = jnp.asarray(np.eye(K, dtype=np.float32)[idx])
+    # logits that exactly predict the target tokens
+    good = category_ce(_dist(10.0 * target), target,
+                       mask=jnp.ones((B, T), bool))
+    # uniform logits
+    unif = category_ce(_dist(jnp.zeros((B, T, A, K))), target,
+                       mask=jnp.ones((B, T), bool))
+    assert good.shape == (B,)
+    assert float(good.sum()) > float(unif.sum())
+    np.testing.assert_allclose(np.asarray(unif),
+                               T * A * np.log(1.0 / K), rtol=1e-5)
+    # masking the last two steps removes exactly their contribution
+    mask = jnp.asarray(np.array([[1, 1, 0, 0]] * B, bool))
+    part = category_ce(_dist(jnp.zeros((B, T, A, K))), target, mask=mask)
+    np.testing.assert_allclose(np.asarray(part),
+                               2 * A * np.log(1.0 / K), rtol=1e-5)
