@@ -29,7 +29,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-ITERS = int(os.environ.get("AB_ITERS", 50))
+ITERS = int(os.environ.get("AB_ITERS", 1000))
+
+_RTT = None
+
+
+def _null_rtt() -> float:
+    """Median dispatch+fetch time of a trivial program (same as bench.py):
+    subtracted so microsecond-scale kernels aren't swamped by the ~33 ms
+    remote-tunnel round trip."""
+    global _RTT
+    if _RTT is not None:
+        return _RTT
+
+    @jax.jit
+    def nul(x):
+        return jnp.sum(x) * 0.0 + 1.0
+
+    x = jnp.zeros((8,))
+    float(nul(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nul(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    _RTT = times[len(times) // 2]
+    return _RTT
 
 
 def time_scan(fn, *args) -> float:
@@ -38,21 +64,24 @@ def time_scan(fn, *args) -> float:
     @jax.jit
     def run(*args):
         def body(carry, _):
-            out = fn(*args)
+            # perturb the first input by the carry so every iteration is
+            # data-dependent on the previous one — without this the body is
+            # loop-invariant and XLA may hoist it out of the scan entirely
+            a0 = args[0] + (carry * 1e-30).astype(args[0].dtype)
+            out = fn(a0, *args[1:])
             leaves = [jnp.sum(l.astype(jnp.float32))
                       for l in jax.tree_util.tree_leaves(out)]
-            # fold the output back into a scalar carry so every iteration
-            # is data-dependent on the previous one (no elision/overlap)
             return carry + sum(leaves) * 1e-20, ()
         c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=ITERS)
         return c
 
     # fetch, not block_until_ready: the latter does not reliably wait on
     # the axon remote platform (see bench.py methodology notes)
+    rtt = _null_rtt()
     float(run(*args))                       # compile + warmup
     t0 = time.perf_counter()
     float(run(*args))
-    return (time.perf_counter() - t0) / ITERS
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / ITERS
 
 
 def grad_of(fn, argnums):
@@ -156,12 +185,38 @@ def bench_attention(results):
         results.setdefault("attention", []).append(row)
 
 
+def bench_sparse(results):
+    """Block-sparse strided kernel vs the dense-bias emulation at VideoGPT
+    full-attention shapes (T = t*h*w tokens)."""
+    from multimodal_vae_comparison_tpu.ops.pallas import sparse_attention
+
+    for name, B, H, T, Dh, blk, stride in (
+            ("video_T512", 4, 2, 512, 32, 128, 4),
+            ("video_T2048", 2, 2, 2048, 32, 128, 4),
+            ("video_T4096", 1, 2, 4096, 32, 128, 4)):
+        k = jax.random.PRNGKey(0)
+        q = jax.random.normal(k, (B, H, T, Dh))
+        kk = jax.random.normal(k, (B, H, T, Dh))
+        v = jax.random.normal(k, (B, H, T, Dh))
+        pallas_fn = functools.partial(
+            sparse_attention.strided_block_sparse_attention,
+            block=blk, block_stride=stride)
+        dense_fn = functools.partial(
+            sparse_attention._reference_block_sparse,
+            block=blk, block_stride=stride)
+        row = {"shape": f"{name}_B{B}xH{H}xT{T}xD{Dh}_blk{blk}s{stride}"}
+        row["fwd_pallas_us"] = round(time_scan(pallas_fn, q, kk, v) * 1e6, 1)
+        row["fwd_dense_us"] = round(time_scan(dense_fn, q, kk, v) * 1e6, 1)
+        results.setdefault("sparse_attention", []).append(row)
+
+
 def main():
     results = {"device": getattr(jax.devices()[0], "device_kind", "unknown"),
                "iters": ITERS}
     only = sys.argv[1] if len(sys.argv) > 1 else None
     for name, fn in (("poe", bench_poe), ("kl", bench_kl),
-                     ("sample", bench_sample), ("attention", bench_attention)):
+                     ("sample", bench_sample), ("attention", bench_attention),
+                     ("sparse", bench_sparse)):
         if only and name != only:
             continue
         try:

@@ -373,13 +373,56 @@ def strided_sparsity_bias(seq_len: int, block: int, stride: int) -> jnp.ndarray:
     """Static additive attention bias reproducing VideoGPT's strided sparse
     pattern (local block + strided columns).  Built once at trace time; XLA
     folds it into the attention einsum.  Reference: StridedSparsityConfig
-    (nn_modules.py:624-882) backed by DeepSpeed CUDA kernels."""
+    (nn_modules.py:624-882) backed by DeepSpeed CUDA kernels.  This is the
+    element-level dense emulation; StridedSparseSelfAttention below uses the
+    real block-sparse Pallas kernel that skips the dead blocks."""
     q = jnp.arange(seq_len)[:, None]
     k = jnp.arange(seq_len)[None, :]
     same_block = (q // block) == (k // block)
     strided = ((q - k) % stride) == 0
     visible = jnp.logical_and(k <= q, jnp.logical_or(same_block, strided))
     return jnp.where(visible, 0.0, -1e9)
+
+
+class StridedSparseSelfAttention(nn.Module):
+    """VideoGPT's 'sparse' attention type as a real block-sparse kernel.
+
+    Causal self-attention over (B, T, C) where each ``block``-sized query
+    block attends its own (causally masked) block plus every
+    ``block_stride``-th earlier block in full — DeepSpeed
+    StridedSparsityConfig semantics (reference nn_modules.py:624-882).  On
+    TPU the masked-out blocks are actually skipped
+    (ops/pallas/sparse_attention.py); elsewhere the dense jnp emulation of
+    the identical pattern runs.  T is padded to a block multiple internally
+    (padded keys are causally invisible to real queries).
+    """
+
+    num_heads: int
+    block: int = 128
+    block_stride: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from multimodal_vae_comparison_tpu.ops.pallas.sparse_attention import (
+            strided_block_sparse_attention)
+        b, t, c = x.shape
+        assert c % self.num_heads == 0
+        dh = c // self.num_heads
+        dense = lambda name: nn.DenseGeneral((self.num_heads, dh),
+                                             dtype=self.dtype, name=name)
+        q = dense("query")(x).transpose(0, 2, 1, 3)
+        k = dense("key")(x).transpose(0, 2, 1, 3)
+        v = dense("value")(x).transpose(0, 2, 1, 3)
+        pad = (-t) % self.block
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(a, widths) for a in (q, k, v))
+        out = strided_block_sparse_attention(
+            q, k, v, block=self.block, block_stride=self.block_stride)
+        out = out[:, :, :t].astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        return nn.Dense(c, dtype=self.dtype, name="out")(out)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: strided BLOCK-SPARSE causal self-attention.
+
+The reference's VideoGPT nets can escape to DeepSpeed's block-sparse CUDA
+kernels for a strided sparsity pattern (nn_modules.py:624-882,
+StridedSparsityConfig): sparsity is declared at *block* granularity — each
+query block attends its own (causally masked) diagonal block plus every
+``block_stride``-th earlier block in full.  Round 2 emulated the pattern
+with a dense additive bias (nets.strided_sparsity_bias), which keeps O(T^2)
+compute; this kernel actually skips the masked-out blocks: the grid
+enumerates only the nonzero (query-block, key-block) pairs via a
+scalar-prefetched block index map, so compute and HBM traffic scale with
+the number of live blocks (~T*(1 + T/(block*block_stride))*block instead
+of T^2).
+
+Flash-attention accumulation: online softmax with running max/denominator
+kept in VMEM scratch that persists across the innermost (key-block) grid
+dimension; the output tile is written once on the last key block.
+
+The backward pass recomputes through the dense jnp reference of the same
+pattern (XLA fuses it) — the forward is where a generation-time/serving
+win lives; a sparse backward is a straightforward extension of the same
+index-map machinery.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+NEG_INF = -1e30
+
+
+def _live_blocks(n_blocks: int, block_stride: int):
+    """Per query block i: its causal diagonal block plus every
+    block_stride-th earlier block (DeepSpeed StridedSparsityConfig
+    semantics at block granularity)."""
+    rows = []
+    for i in range(n_blocks):
+        ks = [j for j in range(i) if (i - j) % block_stride == 0]
+        ks.append(i)                       # diagonal last: monotone order
+        rows.append(ks)
+    return rows
+
+
+def block_sparse_layout(seq_len: int, block: int, block_stride: int):
+    """(kv_map, n_valid) int32 arrays describing the sparse block layout.
+
+    kv_map[i, j] = key-block index of the j-th live block for query block i
+    (padded with 0 beyond n_valid[i]); n_valid[i] = number of live blocks.
+    """
+    assert seq_len % block == 0, (seq_len, block)
+    rows = _live_blocks(seq_len // block, block_stride)
+    max_nk = max(len(r) for r in rows)
+    kv_map = np.zeros((len(rows), max_nk), np.int32)
+    n_valid = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        kv_map[i, : len(r)] = r
+        n_valid[i] = len(r)
+    return jnp.asarray(kv_map), jnp.asarray(n_valid)
+
+
+def _sparse_kernel(n_valid_ref, kv_map_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_scr, l_scr, acc_scr, *, block: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    dh = q_ref.shape[-1]
+    sm_scale = 1.0 / math.sqrt(dh)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(j < n_valid_ref[i])
+    def _compute():
+        kb_idx = kv_map_ref[i, j]
+        q = q_ref[0].astype(jnp.float32) * sm_scale
+        kb = k_ref[0].astype(jnp.float32)
+        vb = v_ref[0].astype(jnp.float32)
+        s = jnp.dot(q, kb.T, preferred_element_type=jnp.float32)
+        # the diagonal block is causally masked inside; strided past blocks
+        # are fully visible (k block entirely precedes the q block)
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        diag_mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF)
+        s = s + jnp.where(kb_idx == i, diag_mask, 0.0)
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[...] = m_new
+        l_scr[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p, vb, preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[...]
+                    / jnp.maximum(l_scr[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _sparse_pallas(q, k, v, kv_map, n_valid, block: int):
+    bh, t, dh = q.shape
+    nq = t // block
+    max_nk = kv_map.shape[1]
+    kernel = functools.partial(_sparse_kernel, block=block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nq, max_nk),
+        in_specs=[
+            pl.BlockSpec((1, block, dh), lambda b, i, j, nv, kv: (b, i, 0)),
+            pl.BlockSpec((1, block, dh),
+                         lambda b, i, j, nv, kv: (b, kv[i, j], 0)),
+            pl.BlockSpec((1, block, dh),
+                         lambda b, i, j, nv, kv: (b, kv[i, j], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, dh),
+                               lambda b, i, j, nv, kv: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, dh), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, t, dh), jnp.float32),
+        interpret=_INTERPRET,
+    )(n_valid, kv_map, q, k, v)
+
+
+def _reference_block_sparse(q, k, v, block: int, block_stride: int):
+    """Dense jnp emulation of the identical block-granularity pattern (the
+    correctness oracle and the VJP recompute path)."""
+    t = q.shape[2]
+    qb = jnp.arange(t)[:, None] // block
+    kb = jnp.arange(t)[None, :] // block
+    diag = qb == kb
+    strided = jnp.logical_and(kb < qb, (qb - kb) % block_stride == 0)
+    causal = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+    visible = jnp.logical_or(jnp.logical_and(diag, causal), strided)
+    bias = jnp.where(visible, 0.0, NEG_INF)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                      preferred_element_type=jnp.float32)
+
+
+def strided_block_sparse_attention(q, k, v, block: int = 128,
+                                   block_stride: int = 4):
+    """Causal strided block-sparse self-attention (VideoGPT escape).
+
+    :param q, k, v: (B, H, T, Dh) with T % block == 0
+    :param block: sparsity block size (also the Pallas tile)
+    :param block_stride: attend every block_stride-th past block
+    :return: (B, H, T, Dh) float32
+    """
+    assert q.shape == k.shape == v.shape, (q.shape, k.shape, v.shape)
+    assert q.shape[2] % block == 0, (q.shape, block)
+    return _sparse_vjp(q, k, v, block, block_stride)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sparse_vjp(q, k, v, block, block_stride):
+    return _sparse_forward(q, k, v, block, block_stride)
+
+
+def _sparse_forward(q, k, v, block, block_stride):
+    from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+
+    b, h, t, dh = q.shape
+    on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        telemetry.record("sparse_attention", "jnp", note="not on TPU")
+        return _reference_block_sparse(q, k, v, block, block_stride)
+    kv_map, n_valid = block_sparse_layout(t, block, block_stride)
+    try:
+        out = _sparse_pallas(q.reshape(b * h, t, dh),
+                             k.reshape(b * h, t, dh),
+                             v.reshape(b * h, t, dh),
+                             kv_map, n_valid, block)
+        telemetry.record("sparse_attention", "pallas")
+        return out.reshape(b, h, t, dh)
+    except Exception as e:  # loud fallback — never silent
+        telemetry.record("sparse_attention", "jnp-error-fallback",
+                         note=f"{type(e).__name__}: {e}")
+        return _reference_block_sparse(q, k, v, block, block_stride)
+
+
+def _sparse_fwd(q, k, v, block, block_stride):
+    return _sparse_forward(q, k, v, block, block_stride), (q, k, v)
+
+
+def _sparse_bwd(block, block_stride, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _reference_block_sparse(q_, k_, v_, block,
+                                                   block_stride), q, k, v)
+    return vjp(g)
+
+
+_sparse_vjp.defvjp(_sparse_fwd, _sparse_bwd)
