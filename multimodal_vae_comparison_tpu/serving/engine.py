@@ -12,7 +12,7 @@ re-dispatch the model once per input).  The engine:
 """
 from __future__ import annotations
 
-import functools
+import threading
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -30,23 +30,29 @@ class InferenceEngine:
         self.params = infer.params
         self.buckets = tuple(sorted(buckets))
         self._fns: Dict[Tuple, callable] = {}
+        self._dec_fns: Dict[Tuple, callable] = {}
+        # ThreadingHTTPServer handles requests on parallel threads; the
+        # lock keeps one compile per (present-set) instead of a stampede.
+        self._lock = threading.Lock()
 
     # -- compiled paths ------------------------------------------------------------
 
     def _gen_fn(self, present: Tuple[str, ...]):
-        if present in self._fns:
-            return self._fns[present]
+        with self._lock:
+            if present in self._fns:
+                return self._fns[present]
 
-        def fn(params, batch, key):
-            out = self.model.apply(params, batch, rngs={"sample": key},
-                                   method=lambda m, b: m.forward(b, present))
-            return {name: mo.decoder_dist.mean[0]
-                    for name, mo in out.mods.items()
-                    if mo.decoder_dist is not None}
+            def fn(params, batch, key):
+                out = self.model.apply(
+                    params, batch, rngs={"sample": key},
+                    method=lambda m, b: m.forward(b, present))
+                return {name: mo.decoder_dist.mean[0]
+                        for name, mo in out.mods.items()
+                        if mo.decoder_dist is not None}
 
-        jitted = jax.jit(fn)
-        self._fns[present] = jitted
-        return jitted
+            jitted = jax.jit(fn)
+            self._fns[present] = jitted
+            return jitted
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -63,7 +69,16 @@ class InferenceEngine:
         :param inputs: {"mod_i": {"data": (N, ...), "masks": optional}}
         :return: {"mod_j": (N, ...)} reconstructions for every modality
         """
+        if not inputs:
+            raise ValueError("generate() needs at least one input modality")
+        unknown = sorted(set(inputs) - set(self.exp.mod_names))
+        if unknown:
+            raise KeyError(
+                f"unknown modalities {unknown}; model has {list(self.exp.mod_names)}")
         present = tuple(sorted(inputs.keys()))
+        sizes = {name: len(mod["data"]) for name, mod in inputs.items()}
+        if len(set(sizes.values())) > 1:
+            raise ValueError(f"input modalities disagree on batch size: {sizes}")
         n = len(next(iter(inputs.values()))["data"])
         outputs: Dict[str, list] = {}
         done = 0
@@ -102,10 +117,15 @@ class InferenceEngine:
         """Decode given latent vectors with every decoder."""
         zj = jnp.asarray(z)[None]
 
-        @functools.lru_cache(maxsize=None)
         def _dec(name, shape):
-            return jax.jit(lambda p, zz: self.model.apply(
-                p, name, zz, method=lambda m, nm, q: m.decode_mod(nm, q)).mean)
+            key = (name, shape)
+            with self._lock:
+                if key not in self._dec_fns:
+                    self._dec_fns[key] = jax.jit(
+                        lambda p, zz: self.model.apply(
+                            p, name, zz,
+                            method=lambda m, nm, q: m.decode_mod(nm, q)).mean)
+                return self._dec_fns[key]
 
         out = {}
         for name in self.exp.mod_names:

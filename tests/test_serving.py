@@ -49,6 +49,93 @@ def test_decode_latents(engine):
     assert out["mod_1"].shape == (3, 64, 64, 3)
 
 
+def test_generate_input_validation(engine):
+    eng, infer = engine
+    data = np.zeros((2, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError):
+        eng.generate({})
+    with pytest.raises(KeyError):
+        eng.generate({"mod_9": {"data": data}})
+    with pytest.raises(ValueError):
+        eng.generate({"mod_1": {"data": data},
+                      "mod_2": {"data": np.zeros((3, 32, 27), np.float32)}})
+
+
+def test_decode_latents_caches_compiles(engine):
+    eng, infer = engine
+    eng._dec_fns.clear()
+    eng.decode_latents(np.zeros((3, 4), np.float32))
+    n = len(eng._dec_fns)
+    assert n == len(infer.mod_names)
+    eng.decode_latents(np.ones((3, 4), np.float32))
+    assert len(eng._dec_fns) == n  # same shape -> no new executables
+
+
+def test_http_concurrent_requests(engine):
+    """ThreadingHTTPServer dispatches handlers on parallel threads; N
+    simultaneous POSTs must all succeed and share one compiled fn per
+    present-set (the engine lock prevents a compile stampede)."""
+    eng, infer = engine
+    eng._fns.clear()
+    from http.server import ThreadingHTTPServer
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, infer))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    results, errors = [], []
+
+    def hit(i):
+        try:
+            req = {"inputs": {"mod_1": {
+                "data": np.full((2, 64, 64, 3), i / 8.0).tolist()}},
+                "seed": i}
+            resp = json.load(urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120))
+            results.append(np.asarray(resp["mod_2"]).shape)
+        except Exception as e:  # surface in main thread
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.shutdown()
+    assert not errors, errors
+    assert len(results) == 6 and all(s[0] == 2 for s in results)
+    assert len(eng._fns) == 1  # one executable for the shared present-set
+
+
+def test_http_error_paths(engine):
+    eng, infer = engine
+    from http.server import ThreadingHTTPServer
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng, infer))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # unknown POST path -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/nope", data=b"{}"))
+        assert e.value.code == 404
+        # unknown modality -> 400 with the engine's message
+        req = {"inputs": {"mod_9": {"data": [[0.0]]}}}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(req).encode()))
+        assert e.value.code == 400
+        assert "mod_9" in json.load(e.value)["error"]
+        # missing "inputs" key -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=b"{}"))
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_http_surface(engine):
     eng, infer = engine
     from http.server import ThreadingHTTPServer
