@@ -406,8 +406,12 @@ def bench_torch() -> float:
 
 
 def mesh_child(n_dev: int, global_batch: int) -> None:
-    """Child process for --mesh: scan-step throughput on an n-device
-    virtual CPU mesh at a fixed global batch (weak-scaling table)."""
+    """Child process for --mesh: scan-step cost on an n-device virtual CPU
+    mesh at a fixed global batch.  On this single-core host all virtual
+    devices share one core, so wall-clock cannot show a speedup; the
+    honest scaling signal is `flops_per_device` from XLA's cost analysis
+    (the per-device program must shrink ~1/n), with wall time recorded to
+    show the sharded program adds no collective overhead blow-up."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -415,6 +419,7 @@ def mesh_child(n_dev: int, global_batch: int) -> None:
     from multimodal_vae_comparison_tpu.parallel.mesh import (
         make_mesh, shard_batch)
 
+    SCAN = 8
     state, batch, rng, raw_step = _build(global_batch)
     mesh = make_mesh(n_dev)
     batch = shard_batch(batch, mesh)
@@ -423,22 +428,28 @@ def mesh_child(n_dev: int, global_batch: int) -> None:
         def body(s, _):
             s, m = raw_step(s, batch, rng)
             return s, m["loss"]
-        state, losses = jax.lax.scan(body, state, None, length=20)
+        state, losses = jax.lax.scan(body, state, None, length=SCAN)
         return state, jnp.sum(losses.astype(jnp.float32))
 
-    step = jax.jit(scan_steps_fn, donate_argnums=(0,))
-    state, total = step(state, batch, rng)
+    compiled = jax.jit(scan_steps_fn, donate_argnums=(0,)).lower(
+        state, batch, rng).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops_dev = float(cost.get("flops", 0.0))
+    state, total = compiled(state, batch, rng)
     float(total)
     t0 = time.perf_counter()
-    state, total = step(state, batch, rng)
+    state, total = compiled(state, batch, rng)
     float(total)
     dt = time.perf_counter() - t0
     print(json.dumps({"n_devices": n_dev, "global_batch": global_batch,
-                      "step_ms": round(dt / 20 * 1e3, 2),
-                      "samples_per_s": round(global_batch * 20 / dt, 1)}))
+                      "step_ms": round(dt / SCAN * 1e3, 2),
+                      "samples_per_s": round(global_batch * SCAN / dt, 1),
+                      "flops_per_device_per_scan": flops_dev}))
 
 
-def mesh_mode(global_batch: int = 512) -> None:
+def mesh_mode(global_batch: int = 128) -> None:
     rows = []
     for n in (1, 2, 4, 8):
         env = dict(os.environ)
@@ -455,7 +466,14 @@ def mesh_mode(global_batch: int = 512) -> None:
             rows.append(json.loads(line[-1]))
         else:
             rows.append({"n_devices": n, "error": out.stderr[-500:]})
-    print(json.dumps({"mesh_scaling_cpu_virtual": rows}, indent=1))
+    result = {"mesh_scaling_cpu_virtual": rows,
+              "note": ("single-core host: wall time is shared-core bound; "
+                       "scaling evidence is flops_per_device shrinking ~1/n "
+                       "at fixed global batch")}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "MESH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
 
 
 def main():
