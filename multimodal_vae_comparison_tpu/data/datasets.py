@@ -493,7 +493,11 @@ class VILANRO(BaseDataset):
     feature_dims = {"front RGB": [64, 64, 3], "objects": [1, 3],
                     "actions": [100, 4, 1], "language": [4, 9, 1],
                     "shapes": [2, 6], "colors": [2, 6],
-                    "action_tokens": [100, 4, 41]}
+                    "action_tokens": [100, 4, 41],
+                    # start-relative achieved-EE-position trajectories
+                    # (collect.py --waypoints); same padded-float pipeline as
+                    # "actions", replay converts via first differences
+                    "action_waypoints": [100, 4, 1]}
     text2img_size = (64, 250, 3)
     # discretized-action-token vocabulary size (per action dimension)
     ACTION_BINS = 41
@@ -524,7 +528,8 @@ class VILANRO(BaseDataset):
         return {"front RGB": self._load_rgb, "actions": self._load_actions,
                 "language": self._load_lang, "objects": self._load_atts,
                 "shapes": self._load_atts, "colors": self._load_atts,
-                "action_tokens": self._load_action_tokens}
+                "action_tokens": self._load_action_tokens,
+                "action_waypoints": self._load_waypoints}
 
     def _mod_specific_savers(self):
         return {"front RGB": self._decode_image,
@@ -532,7 +537,8 @@ class VILANRO(BaseDataset):
                 "objects": lambda d, m=None: d,
                 "language": self._decode_lang,
                 "shapes": self._decode_atts, "colors": self._decode_atts,
-                "action_tokens": self._decode_action_tokens}
+                "action_tokens": self._decode_action_tokens,
+                "action_waypoints": lambda d, m=None: d}
 
     def _load_rgb(self):
         d = np.asarray(self.get_data_raw()).astype(np.float32)
@@ -574,6 +580,14 @@ class VILANRO(BaseDataset):
         data = self.get_data_raw()
         return np.stack([text_utils.one_hot_encode_words(self.vocab_atts, f)
                          for f in data]).astype(np.float32), None
+
+    def _load_waypoints(self):
+        """Start-relative achieved-EE-position trajectories
+        (collect.py --waypoints): same on-disk pkl layout and padded-float
+        pipeline as "actions" — only the replay semantics differ (the
+        closed-loop evaluator converts back to deltas by first differences,
+        vilanro_test.py)."""
+        return self._load_actions()
 
     def _load_action_tokens(self):
         """Discretized action tokens: each continuous action dimension is

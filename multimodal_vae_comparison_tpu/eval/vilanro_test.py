@@ -40,8 +40,10 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     # modality roles from config mod_types
     mapping = {m.mod_type: m.name for m in exp.config.mods}
     lang_mod = mapping.get("language")
-    act_mod = mapping.get("actions") or mapping.get("action_tokens")
+    act_mod = (mapping.get("actions") or mapping.get("action_tokens")
+               or mapping.get("action_waypoints"))
     act_tokens = "action_tokens" in mapping
+    act_waypoints = "action_waypoints" in mapping
     img_mod = mapping.get("front RGB") or mapping.get("image")
     assert lang_mod and act_mod and img_mod, (
         f"expected language/actions/front RGB modalities, got {mapping}")
@@ -75,6 +77,14 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
             # (B,T,A,K) token scores -> argmax bin centers (B,T,A); the
             # categorical head has no regression-to-the-mean shrink
             return act_ds.decode_output(raw)
+        if act_waypoints:
+            # (B,T,4) start-relative achieved-EE-position waypoints ->
+            # per-step deltas by first differences (gripper channel raw).
+            # Endpoint accuracy is then a SINGLE prediction instead of a
+            # sum of T per-step delta predictions (collect.py --waypoints).
+            deltas = np.diff(raw[..., :3], axis=1,
+                             prepend=np.zeros_like(raw[..., :1, :3]))
+            return np.concatenate([deltas, raw[..., 3:]], axis=-1)
         return raw  # (B,T,A) regression mean
 
     obs = [env.reset() for env in envs]

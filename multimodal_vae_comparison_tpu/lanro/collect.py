@@ -114,7 +114,7 @@ def scripted_policy(env: LanroEnv) -> np.ndarray:
 
 def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
             max_len: int = 100, chunk_every: int = 0,
-            noise: float = 0.0) -> dict:
+            noise: float = 0.0, waypoints: bool = False) -> dict:
     """Roll the scripted expert and dump the trimodal pkl layout.
 
     ``chunk_every=k`` additionally emits hindsight action-chunk samples:
@@ -123,6 +123,17 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     generation is in-distribution for receding-horizon replanning
     (vilanro_test --replan k), which the initial-frame-only data is not —
     round-1 measured replanning *below* open-loop for exactly that reason.
+
+    ``waypoints=True`` stores each trajectory as *start-relative achieved EE
+    positions* (w_t = ee_{t+1} - ee_{t0}, gripper channel kept raw) instead
+    of per-step deltas.  Replay converts back via first differences
+    (vilanro_test).  Rationale: under the open-loop protocol the success
+    predicate depends on the trajectory *endpoint*; decoding 70 per-step
+    deltas compounds per-step regression error ~sqrt(T) (measured round 2:
+    val delta MSE 1.3e-4 -> ~8 cm endpoint drift, tolerance 5 cm), while a
+    waypoint head makes the endpoint a single prediction.  Waypoints are
+    diffs of *achieved* (clip-respecting) positions, so the replayed deltas
+    are always feasible for the env.
 
     ``noise > 0`` executes the expert with Gaussian action noise (DART,
     Laskey et al. 2017) and relabels every recorded state with the *clean*
@@ -146,18 +157,21 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
         frames = [obs["rgb"]]        # frame before each action
         instruction = env.instruction
         traj = []
+        ee_log = [env.sim.ee.copy()]  # achieved EE position after each step
         suffixes = []                # clean relabels of each visited state
         done = False
         while not done and len(traj) < (noise_steps if noise else max_len):
             action = scripted_policy(env)
             if noise:
-                suffixes.append(expert_suffix(env, max_len))
+                suffixes.append(expert_suffix(env, max_len,
+                                              waypoints=waypoints))
                 action = np.clip(
                     action + rng.normal(0.0, noise, action.shape), -1.0, 1.0
                 ).astype(np.float32)
             traj.append(action)
             obs, reward, done, info = env.step(action)
             frames.append(obs["rgb"])
+            ee_log.append(env.sim.ee.copy())
         successes += int(env.is_success())
         if noise:
             # every visited (noisy-rollout) state, clean-expert-labeled
@@ -166,14 +180,16 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
                 instructions.append(instruction)
                 trajectories.append(suffixes[t])
             continue
+        emit = (_to_waypoints if waypoints
+                else lambda tr, log, t0: np.stack(tr[t0:]))
         images.append(frames[0])     # initial scene: what the policy sees
         instructions.append(instruction)
-        trajectories.append(np.stack(traj))
+        trajectories.append(emit(traj, ee_log, 0))
         if chunk_every:
             for t in range(chunk_every, len(traj), chunk_every):
                 images.append(frames[t])
                 instructions.append(instruction)
-                trajectories.append(np.stack(traj[t:]))
+                trajectories.append(emit(traj, ee_log, t))
     vocab = sorted({w for ins in instructions for w in ins.split(" ")})
     with open(os.path.join(out_dir, "image_final.pkl"), "wb") as f:
         pickle.dump(images, f)
@@ -188,20 +204,36 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
             "vocab_size": len(vocab), "out_dir": out_dir}
 
 
-def expert_suffix(env, max_len: int = 100) -> np.ndarray:
+def _to_waypoints(traj, ee_log, t0: int) -> np.ndarray:
+    """Start-relative achieved EE positions (w_k = ee_{t0+k+1} - ee_{t0}),
+    gripper command kept raw, for the trajectory suffix starting at step
+    ``t0``.  Always 4-dim (x, y, z, gripper) regardless of the env's native
+    action space — achieved Cartesian positions are well-defined for the
+    joint-space arm too."""
+    return np.stack([
+        np.concatenate([np.asarray(ee_log[k + 1] - ee_log[t0], np.float32),
+                        np.asarray(traj[k][-1:], np.float32)])
+        for k in range(t0, len(traj))])
+
+
+def expert_suffix(env, max_len: int = 100,
+                  waypoints: bool = False) -> np.ndarray:
     """Expert's remaining trajectory from the env's *current* state, rolled
     on a deep copy (the kinematic sim is pure numpy, cloning is cheap)."""
     import copy
     sim_env = copy.deepcopy(env)
     traj = []
+    ee_log = [sim_env.sim.ee.copy()]
     done = False
     while not done and len(traj) < max_len:
         a = scripted_policy(sim_env)
         traj.append(a)
         _, _, done, _ = sim_env.step(a)
+        ee_log.append(sim_env.sim.ee.copy())
     if not traj:
         traj = [np.zeros_like(scripted_policy(sim_env))]
-    return np.stack(traj)
+        ee_log.append(ee_log[0])
+    return _to_waypoints(traj, ee_log, 0) if waypoints else np.stack(traj)
 
 
 def collect_dagger(env_id: str, episodes: int, out_dir: str, model_dir: str,
@@ -301,6 +333,10 @@ def main():
     parser.add_argument("--chunk_every", type=int, default=0,
                         help="also emit (mid-episode frame, remaining-"
                              "trajectory) hindsight chunks every k steps")
+    parser.add_argument("--waypoints", action="store_true",
+                        help="store trajectories as start-relative achieved "
+                             "EE positions (single-prediction endpoint) "
+                             "instead of per-step deltas")
     parser.add_argument("--noise", type=float, default=0.0,
                         help="DART: execute the expert with this Gaussian "
                              "action noise and clean-relabel visited states")
@@ -316,7 +352,8 @@ def main():
                                mix_dir=args.mix_dir)
     else:
         stats = collect(args.env, args.episodes, args.out, args.seed,
-                        chunk_every=args.chunk_every, noise=args.noise)
+                        chunk_every=args.chunk_every, noise=args.noise,
+                        waypoints=args.waypoints)
     print(stats)
 
 

@@ -288,3 +288,70 @@ def test_unsupported_object_falls():
         sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
         sim.ee = np.array([0.25, 0.25, 0.2])
     assert abs(top.pos[2] - 0.02) < 1e-9
+
+
+def test_collect_waypoints_replay_reaches_expert_endpoint(tmp_path):
+    """--waypoints stores start-relative achieved EE positions; replaying
+    their first differences must reproduce the expert rollout exactly
+    (same seed -> same scenes) and succeed where the expert did."""
+    import pickle
+    stats = collect("NLReach2-v0", episodes=6, out_dir=str(tmp_path),
+                    seed=11, waypoints=True)
+    assert stats["expert_success"] > 0.7
+    with open(os.path.join(str(tmp_path), "endeff_actions_final.pkl"),
+              "rb") as f:
+        trajs = pickle.load(f)
+    successes = 0
+    for ep, w in enumerate(trajs):
+        w = np.asarray(w)
+        assert w.shape[-1] == 4
+        env = make("NLReach2-v0", seed=11)
+        # same construction order as collect(): one env reused across
+        # episodes, so replay episode `ep` after ep resets
+        for _ in range(ep):
+            env.reset()
+            for _ in range(100):
+                _, _, done, _ = env.step(scripted_policy(env))
+                if done:
+                    break
+        env.reset()
+        start = env.sim.ee.copy()
+        deltas = np.diff(w[:, :3], axis=0, prepend=np.zeros((1, 3)))
+        for k in range(len(w)):
+            env.step(np.concatenate([deltas[k], w[k, 3:]]))
+        # replayed endpoint == recorded waypoint endpoint
+        np.testing.assert_allclose(env.sim.ee - start, w[-1, :3], atol=1e-9)
+        successes += int(env.is_success())
+    assert successes / len(trajs) > 0.7
+
+
+def test_waypoints_hindsight_chunks_are_rebased(tmp_path):
+    """Chunk suffixes must be relative to the EE at the chunk start, not the
+    episode start: w_chunk[k] = w_full[t0+k] - w_full[t0-1]."""
+    import pickle
+    collect("NLReach2-v0", episodes=3, out_dir=str(tmp_path), seed=5,
+            chunk_every=5, waypoints=True)
+    with open(os.path.join(str(tmp_path), "endeff_actions_final.pkl"),
+              "rb") as f:
+        trajs = pickle.load(f)
+    base = np.asarray(trajs[0])
+    if len(base) > 5 and len(trajs) > 1:
+        chunk = np.asarray(trajs[1])
+        np.testing.assert_allclose(
+            chunk[:, :3], base[5:, :3] - base[4, :3], atol=1e-6)
+        np.testing.assert_array_equal(chunk[:, 3], base[5:, 3])
+
+
+def test_vilanro_dataset_loads_waypoints(tmp_path):
+    collect("NLReach2-v0", episodes=4, out_dir=str(tmp_path), seed=0,
+            waypoints=True)
+    from multimodal_vae_comparison_tpu.data.datasets import VILANRO
+    ds = VILANRO(os.path.join(str(tmp_path), "endeff_actions_final.pkl"),
+                 None, "action_waypoints")
+    data, masks = ds.get_data("train")
+    assert data.shape == (4, 100, 4) and masks.shape == (4, 100)
+    # waypoints are positions: the final valid entry is the net displacement,
+    # typically much larger than one 0.04-clipped step
+    lens = masks.sum(1).astype(int)
+    finals = np.stack([data[i, lens[i] - 1, :3] for i in range(4)])
+    assert (np.linalg.norm(finals, axis=1) > 0.05).any()
