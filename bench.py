@@ -179,6 +179,7 @@ def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
 
     # FLOP accounting: XLA cost analysis (every HLO op) + analytic MXU-only
     flops = mxu = None
+    compiled = None
     try:
         compiled = step.lower(state, batch, rng).compile()
         ca = compiled.cost_analysis()
@@ -186,7 +187,7 @@ def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
-        pass
+        compiled = None
     try:
         from multimodal_vae_comparison_tpu.ops.flops import mxu_flops
         mxu = mxu_flops(step, state, batch, rng)["mxu_flops"]
@@ -194,11 +195,14 @@ def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
         pass
 
     # -- timing A: fetch the loss scalar after every step -------------------
-    state, metrics = step(state, batch, rng)          # compile + warmup
+    # reuse the AOT executable — remote compiles cost minutes per program
+    # shape, and `step` would otherwise compile the identical program again
+    run = compiled if compiled is not None else step
+    state, metrics = run(state, batch, rng)           # (compile +) warmup
     float(metrics["loss"])                            # fetch = real sync
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, metrics = step(state, batch, rng)
+        state, metrics = run(state, batch, rng)
         float(metrics["loss"])
     dt_fetch = time.perf_counter() - t0
     step_s_fetch = dt_fetch / STEPS

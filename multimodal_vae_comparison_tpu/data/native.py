@@ -82,9 +82,11 @@ def gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     _load()
     src = np.ascontiguousarray(src)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    # bounds-check both paths so behavior never depends on whether the
+    # native lib loaded (numpy would silently accept negative indices)
+    _check_bounds(idx, len(src))
     if not _lib:
         return src[idx]
-    _check_bounds(idx, len(src))
     n = len(idx)
     row = int(np.prod(src.shape[1:], dtype=np.int64))
     out_shape = (n,) + src.shape[1:]
@@ -108,9 +110,9 @@ def gather_normalize(src: np.ndarray, idx: np.ndarray,
     _load()
     src = np.ascontiguousarray(src)
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    _check_bounds(idx, len(src))
     if not _lib or src.dtype != np.uint8:
         return src[idx].astype(np.float32) * np.float32(scale)
-    _check_bounds(idx, len(src))
     n = len(idx)
     row = int(np.prod(src.shape[1:], dtype=np.int64))
     out = np.empty((n,) + src.shape[1:], np.float32)

@@ -40,10 +40,13 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     # modality roles from config mod_types
     mapping = {m.mod_type: m.name for m in exp.config.mods}
     lang_mod = mapping.get("language")
-    act_mod = (mapping.get("actions") or mapping.get("action_tokens")
-               or mapping.get("action_waypoints"))
-    act_tokens = "action_tokens" in mapping
-    act_waypoints = "action_waypoints" in mapping
+    act_type = next((t for t in ("actions", "action_tokens",
+                                 "action_waypoints") if t in mapping), None)
+    act_mod = mapping.get(act_type) if act_type else None
+    # decode flags must follow the modality act_mod resolved to, not merely
+    # which mod_types exist somewhere in the config
+    act_tokens = act_type == "action_tokens"
+    act_waypoints = act_type == "action_waypoints"
     img_mod = mapping.get("front RGB") or mapping.get("image")
     assert lang_mod and act_mod and img_mod, (
         f"expected language/actions/front RGB modalities, got {mapping}")

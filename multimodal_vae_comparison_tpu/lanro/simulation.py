@@ -180,7 +180,10 @@ class KinematicSimulation:
         for i in range(len(free)):
             for j in range(i + 1, len(free)):
                 a, b = free[i], free[j]
-                if abs(a.pos[2] - b.pos[2]) > a.size + b.size:
+                # stacked pairs rest at z-diff == a.size + b.size exactly
+                # (see _rest_height), so the exclusion must be inclusive or a
+                # completed stack gets shoved apart as a "lateral overlap"
+                if abs(a.pos[2] - b.pos[2]) >= a.size + b.size - 1e-6:
                     continue  # stacked, not lateral contact
                 gap = b.pos[:2] - a.pos[:2]
                 dist = np.linalg.norm(gap)

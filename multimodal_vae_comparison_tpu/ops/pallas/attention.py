@@ -34,9 +34,12 @@ def use_flash_attention() -> bool:
     import os
 
     env = os.environ.get("MMVAE_TPU_FLASH_ATTN")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if env is not None:
-        return env == "1"
-    return _DEFAULT_ON and jax.default_backend() in ("tpu", "axon")
+        # the compiled kernel only exists on TPU backends; honoring a stale
+        # env override on CPU would abort training instead of falling back
+        return env == "1" and (on_tpu or _INTERPRET)
+    return _DEFAULT_ON and on_tpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_block: int):

@@ -32,8 +32,12 @@ class InferenceEngine:
         self._fns: Dict[Tuple, callable] = {}
         self._dec_fns: Dict[Tuple, callable] = {}
         # ThreadingHTTPServer handles requests on parallel threads; the
-        # lock keeps one compile per (present-set) instead of a stampede.
+        # lock keeps one compile per (present-set, shape) instead of a
+        # stampede.  jax.jit compiles lazily at the first *call*, so the
+        # first call per shape must also run under the lock (_warm tracks
+        # which shapes have been compiled).
         self._lock = threading.Lock()
+        self._warm: set = set()
 
     # -- compiled paths ------------------------------------------------------------
 
@@ -106,7 +110,13 @@ class InferenceEngine:
                 else:
                     batch[name] = {"data": None, "masks": None}
             fn = self._gen_fn(present)
-            out = fn(self.params, batch, jax.random.PRNGKey(seed))
+            shape_key = (present, bucket)
+            if shape_key in self._warm:
+                out = fn(self.params, batch, jax.random.PRNGKey(seed))
+            else:
+                with self._lock:  # serialize the lazy trace+compile
+                    out = fn(self.params, batch, jax.random.PRNGKey(seed))
+                    self._warm.add(shape_key)
             for name, arr in out.items():
                 outputs.setdefault(name, []).append(
                     np.asarray(arr)[:take])
@@ -129,6 +139,13 @@ class InferenceEngine:
 
         out = {}
         for name in self.exp.mod_names:
-            dist_mean = _dec(name, zj.shape)(self.params, zj)
+            fn = _dec(name, zj.shape)
+            warm_key = ("dec", name, zj.shape)
+            if warm_key in self._warm:
+                dist_mean = fn(self.params, zj)
+            else:
+                with self._lock:  # serialize the lazy trace+compile
+                    dist_mean = fn(self.params, zj)
+                    self._warm.add(warm_key)
             out[name] = np.asarray(dist_mean[0])
         return out

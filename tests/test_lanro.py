@@ -123,6 +123,30 @@ def test_stacking_rest_height():
     assert abs(a.pos[2] - (b.pos[2] + b.size + a.size)) < 1e-6
 
 
+def test_stack_with_xy_offset_stays_stacked():
+    """A completed stack with a small xy offset (within the success
+    tolerance) must not be resolved as a lateral collision: the z-exclusion
+    is inclusive at the exact rest height z-diff == a.size + b.size."""
+    from multimodal_vae_comparison_tpu.lanro.simulation import (
+        KinematicSimulation)
+    sim = KinematicSimulation(seed=0)
+    sim.reset(2)
+    a, b = sim.objects
+    b.pos = np.array([0.1, 0.1, 0.02])
+    a.grasped = True
+    sim.ee = np.array([0.12, 0.1, 0.12])  # 2cm xy offset from the base
+    sim.step(np.array([0.0, 0.0, 0.0, 1.0]))  # release on top
+    assert not a.grasped
+    top_z = a.pos[2]
+    assert abs(top_z - (b.pos[2] + b.size + a.size)) < 1e-6
+    sim.ee = np.array([-0.2, 0.2, 0.15])  # hands off
+    for _ in range(10):
+        sim.step(np.array([0.0, 0.0, 0.0, 1.0]))
+    # neither shoved apart laterally nor dropped off the stack
+    assert np.linalg.norm(a.pos[:2] - b.pos[:2]) < 0.03
+    assert abs(a.pos[2] - top_z) < 1e-6
+
+
 def test_random_policy_mostly_fails():
     env = make("NLReach2-v0", seed=2)
     rng = np.random.default_rng(0)
