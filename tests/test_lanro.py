@@ -366,6 +366,45 @@ def test_waypoints_hindsight_chunks_are_rebased(tmp_path):
         np.testing.assert_array_equal(chunk[:, 3], base[5:, 3])
 
 
+def test_waypoint_model_end_to_end_eval(tmp_path):
+    """Full waypoint pipeline through the real batched evaluator: collect
+    --waypoints data, train a tiny trimodal model, reload it with
+    MultimodalVAEInfer, and run infer_loop — covering the action_waypoints
+    first-difference decode path (vilanro_test.py) that the TPU configs use."""
+    from multimodal_vae_comparison_tpu.config import Config
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+    from multimodal_vae_comparison_tpu.eval.vilanro_test import infer_loop
+    from multimodal_vae_comparison_tpu.training.trainer import Trainer
+
+    data_dir = tmp_path / "data"
+    collect("NLReach2-v0", episodes=6, out_dir=str(data_dir), seed=3,
+            waypoints=True)
+    cfg = Config({
+        "batch_size": 4, "epochs": 2, "exp_name": "way_e2e", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 8, "obj": "elbo", "optimizer": "adam",
+        "seed": 1, "test_split": 0.25, "viz_freq": 100, "labels": None,
+        "dataset_name": "vilanro",
+        "modality_1": {"encoder": "TxtTransformer", "decoder": "TxtTransformer",
+                       "mod_type": "language",
+                       "path": str(data_dir / "instructions_final.pkl"),
+                       "recon_loss": "category_ce"},
+        "modality_2": {"encoder": "Transformer", "decoder": "Transformer",
+                       "mod_type": "action_waypoints",
+                       "path": str(data_dir / "endeff_actions_final.pkl"),
+                       "recon_loss": "mse"},
+        "modality_3": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "front RGB",
+                       "path": str(data_dir / "image_final.pkl"),
+                       "recon_loss": "bce"},
+    }, results_root=str(tmp_path))
+    Trainer(cfg, enable_viz=False).fit(epochs=2)
+    exp = MultimodalVAEInfer(cfg.mPath)
+    res = infer_loop(exp, env_id="NLReach2-v0", trials=2, seed=7,
+                     log_every=0)
+    assert res["trials"] == 2
+    assert 0.0 <= res["success_rate"] <= 1.0
+
+
 def test_vilanro_dataset_loads_waypoints(tmp_path):
     collect("NLReach2-v0", episodes=4, out_dir=str(tmp_path), seed=0,
             waypoints=True)
