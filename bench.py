@@ -144,6 +144,15 @@ def calibrate_peak(rtt_s: float) -> dict:
             "calibrated_peak_flops": best}
 
 
+def _compute_dtype():
+    """bf16 on the MXU; fp32 on CPU (bf16 is software-emulated there, which
+    would unfairly handicap the CPU-fallback comparison vs fp32 torch)."""
+    import jax
+    import jax.numpy as jnp
+    return (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+            else jnp.float32)
+
+
 def _build(batch_size):
     import jax
     import jax.numpy as jnp
@@ -157,7 +166,7 @@ def _build(batch_size):
     # bf16 compute path on TPU (params stay fp32)
     model = type(model)(specs=model.specs, n_latents=model.n_latents,
                         obj=model.obj, beta=model.beta, K=model.K,
-                        dtype=jnp.bfloat16)
+                        dtype=_compute_dtype())
     batch = ge._batch(batch_size, seq_len=SEQ)
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng, "sample": rng}, batch,
@@ -272,7 +281,7 @@ def bench_scan_epoch(batch_size: int = 24, n_steps: int = 400) -> dict:
     model = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
     model = type(model)(specs=model.specs, n_latents=model.n_latents,
                         obj=model.obj, beta=model.beta, K=model.K,
-                        dtype=jnp.bfloat16)
+                        dtype=_compute_dtype())
     big = ge._batch(batch_size * n_steps, seq_len=SEQ)
     epoch_data = jax.tree_util.tree_map(
         lambda x: (x.reshape((n_steps, batch_size) + x.shape[1:])
@@ -480,6 +489,28 @@ def mesh_mode(global_batch: int = 128) -> None:
     print(json.dumps(result, indent=1))
 
 
+def _wait_for_backend(max_wait_s: float) -> bool:
+    """The remote TPU claim can be transiently unavailable (it stays wedged
+    ~15 min after a killed TPU-attached process).  Probe in subprocesses so
+    a failed init is never cached in this process; True once `jax.devices()`
+    succeeds, False after max_wait_s."""
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=600)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print("bench: accelerator backend unavailable, retrying...",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     if "--mesh-child" in sys.argv:
         i = sys.argv.index("--mesh-child")
@@ -490,6 +521,18 @@ def main():
         return
 
     import jax
+    platform_note = None
+    if not _wait_for_backend(float(os.environ.get("BENCH_WAIT_S", 1500))):
+        # still emit an honest JSON line rather than crashing with none
+        global BATCHES, STEPS, SCAN_STEPS
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = ("accelerator backend unavailable after wait; "
+                         "measured on host CPU — NOT a TPU number")
+        BATCHES = BATCHES[:1]   # the full curve takes hours on one CPU core
+        STEPS = min(STEPS, 3)
+        SCAN_STEPS = min(SCAN_STEPS, 10)
+        os.environ.setdefault("BENCH_CALIB_ITERS", "2")
+        os.environ.setdefault("BENCH_CALIB_SIZES", "512,1024")
     from multimodal_vae_comparison_tpu.main import enable_compilation_cache
     enable_compilation_cache()
 
@@ -503,7 +546,7 @@ def main():
     head = curve[0]
     best = max(curve, key=lambda r: r["samples_per_s_per_chip"])
     try:
-        scan_epoch = bench_scan_epoch()
+        scan_epoch = bench_scan_epoch(n_steps=10 if platform_note else 400)
     except Exception as e:
         scan_epoch = {"error": f"{type(e).__name__}: {e}"}
     try:
@@ -544,6 +587,8 @@ def main():
         "scan_epoch": scan_epoch,
         "torch_cpu_samples_per_s": round(torch_sps, 2) if torch_sps else None,
     }
+    if platform_note:
+        out["platform_note"] = platform_note
     try:
         from multimodal_vae_comparison_tpu.ops.pallas import telemetry
         out["kernel_paths"] = telemetry.summary()

@@ -10,6 +10,7 @@ can log which compute paths their XLA programs actually contain.
 """
 from __future__ import annotations
 
+import sys
 from collections import Counter
 
 _counts: Counter = Counter()
@@ -27,7 +28,9 @@ def record(kernel: str, path: str, note: str = "") -> None:
         msg = f"[pallas] {kernel} -> {path} path (trace-time)"
         if note:
             msg += f" — {note}"
-        print(msg)
+        # stderr: stdout is reserved for tool output contracts (bench.py
+        # must print exactly one JSON line to stdout)
+        print(msg, file=sys.stderr)
 
 
 def summary() -> dict:
