@@ -43,6 +43,31 @@ def test_generate_pads_to_bucket_and_trims(engine):
     assert len(eng._fns) == 1
 
 
+def test_concurrent_generate_same_present_set(engine):
+    """First call per (present-set, bucket) shape serializes under the
+    compile lock; concurrent callers must all get identical, correct
+    results and warm exactly the shapes they used."""
+    eng, infer = engine
+    data = np.random.default_rng(1).random((2, 64, 64, 3)).astype(np.float32)
+    results, errors = [None] * 4, []
+
+    def hit(i):
+        try:
+            results[i] = eng.generate({"mod_1": {"data": data}})
+        except Exception as e:  # surface failures in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for r in results[1:]:
+        np.testing.assert_allclose(r["mod_1"], results[0]["mod_1"])
+    assert (("mod_1",), 2) in eng._warm
+
+
 def test_decode_latents(engine):
     eng, infer = engine
     out = eng.decode_latents(np.zeros((3, 4), np.float32))
