@@ -97,6 +97,16 @@ class DataModule:
                 return lab
         return None
 
+    def split_arrays(self, i: int, split: str = "train"):
+        """(data, masks) of modality ``i``'s train or val split, after the
+        shared shuffle.  Judge classifiers MUST train on the train split
+        only: judged evals sample the val split when no ``test_datapath`` is
+        configured, so a judge trained on the full raw file would have its
+        calibration scored on its own training data."""
+        self.setup()
+        part = {"train": self._train, "val": self._val}[split]
+        return part[i]["data"], part[i]["masks"]
+
     @property
     def n_train(self) -> int:
         return len(self._train[0]["data"])

@@ -126,12 +126,16 @@ def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
 
 def classifier_accuracy(model, params, images, labels,
                         batch_size: int = 256) -> float:
-    correct = 0
+    correct = total = 0
     for b in range(0, len(images), batch_size):
         logits = model.apply(params, jnp.asarray(images[b:b + batch_size]))
-        correct += int((np.argmax(np.asarray(logits), -1)
-                        == labels[b:b + batch_size]).sum())
-    return correct / len(images)
+        pred = np.argmax(np.asarray(logits), -1)
+        lab = np.asarray(labels[b:b + batch_size])
+        # normalize by label COUNT, not image count: a multi-head judge
+        # ((B, heads) labels) contributes heads matches per image
+        correct += int((pred == lab).sum())
+        total += lab.size
+    return correct / max(total, 1)
 
 
 def judge_calibration(model, params, images, labels, name: str = "judge",
@@ -171,6 +175,33 @@ def save_classifier(params, path: str) -> None:
 def load_classifier(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def mods_by_type(exp) -> Dict[str, str]:
+    """{mod_type -> modality name} from the run config (shared by every
+    judged eval; later modality wins on duplicate mod_types)."""
+    return {m.mod_type: m.name for m in exp.config.mods}
+
+
+def digit_classifiers(exp, cache_dir: str, prefix: str,
+                      num_classes: int = 10, epochs: int = 6) -> Dict:
+    """One per-modality digit judge (MNIST-SVHN and PolyMNIST share this).
+
+    Trains on the datamodule's TRAIN split with its aligned labels — NOT the
+    raw file — so calibration on the val split is genuinely held out."""
+    out = {}
+    for i, name in enumerate(exp.mod_names):
+        model = CNNClassifier(num_classes=num_classes)
+        cache = os.path.join(cache_dir, f"{prefix}_digit_{name}_v2.pkl")
+
+        def data_fn(i=i):
+            data, _ = exp.datamod.split_arrays(i, "train")
+            labels = np.asarray(exp.datamod.labels_train)
+            return data.astype(np.float32), labels
+
+        out[name] = (model, get_or_train_classifier(cache, model, data_fn,
+                                                    epochs=epochs))
+    return out
 
 
 def get_or_train_classifier(cache_path: str, model: nn.Module,

@@ -122,26 +122,37 @@ def classifier_cache_dir(exp) -> str:
 
 
 def get_all_classifiers(exp, level: int, log_fn=print) -> Dict[str, tuple]:
-    """Per-attribute (model, params); auto-trained on the dataset's own
-    labeled train images when no cache exists."""
-    img_ds = exp.datamod.datasets[0]
+    """Per-attribute (model, params); auto-trained on the datamodule's
+    TRAIN split (judged/calibration samples come from the val split, which
+    must stay held out from the judges).  The `_v2` cache suffix marks this
+    train-split-only recipe — v1 caches were trained on the full file."""
     cache_dir = os.environ.get(
         "CDSPRITES_CLASSIFIER_DIR", classifier_cache_dir(exp))
+    shared: Dict[str, np.ndarray] = {}
+
+    def load_once():
+        # one h5 read + label decode for ALL attributes, not one per judge
+        if not shared:
+            images, _ = exp.datamod.split_arrays(0, "train")
+            labels_txt = exp.datamod.labels_train
+            shared["images"] = images.astype(np.float32)
+            shared["texts"] = [
+                " ".join(l) if isinstance(l, (list, tuple)) else str(l)
+                for l in labels_txt]
+        return shared["images"], shared["texts"]
+
     out = {}
     for att in LEVEL_ATTRIBUTES[level]:
         classes = CLASS_MAPPINGS[att]
         model = CNNClassifier(num_classes=len(classes))
         cache = os.path.join(
-            cache_dir, f"cdspritesplus_classifier_level{level}_{att}.pkl")
+            cache_dir, f"cdspritesplus_classifier_level{level}_{att}_v2.pkl")
 
         def data_fn(att=att, classes=classes):
-            images, _ = img_ds.get_data("train")
-            labels_txt = exp.datamod.get_labels()
-            texts = [" ".join(l) if isinstance(l, (list, tuple)) else str(l)
-                     for l in labels_txt]
+            images, texts = load_once()
             y = np.array([classes.index(get_attribute(att, t))
                           for t in texts])
-            return images.astype(np.float32), y
+            return images, y
 
         if log_fn:
             log_fn(f"classifier[{att}]: "

@@ -17,22 +17,20 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, predict)
-
-
-def _mods_by_type(exp):
-    return {m.mod_type: m.name for m in exp.config.mods}
+    CNNClassifier, get_or_train_classifier, mods_by_type as _mods_by_type,
+    predict)
 
 
 def _att_judge(exp, mapping, cache_dir):
     model = CNNClassifier(num_classes=2, heads=4)
-    cache = os.path.join(cache_dir, "celeba_att_clf.pkl")
+    cache = os.path.join(cache_dir, "celeba_att_clf_v2.pkl")
     img_idx = exp.mod_names.index(mapping["image"])
     att_idx = exp.mod_names.index(mapping["atts"])
 
     def data_fn():
-        imgs, _ = exp.datamod.datasets[img_idx].get_data("train")
-        atts, _ = exp.datamod.datasets[att_idx].get_data("train")
+        # TRAIN split only: the calibration below scores the val split
+        imgs, _ = exp.datamod.split_arrays(img_idx, "train")
+        atts, _ = exp.datamod.split_arrays(att_idx, "train")
         return imgs.astype(np.float32), np.argmax(atts, -1)
 
     return model, get_or_train_classifier(cache, model, data_fn, epochs=8)

@@ -20,7 +20,8 @@ import numpy as np
 
 from multimodal_vae_comparison_tpu.data import text as text_utils
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, judge_calibration, predict)
+    CNNClassifier, get_or_train_classifier, judge_calibration,
+    mods_by_type as _mods_by_type, predict)
 
 FACTORS = {
     "size": ["small", "large"],
@@ -28,10 +29,6 @@ FACTORS = {
     "beak": ["short", "long"],
     "belly": ["white", "yellow", "orange"],
 }
-
-
-def _mods_by_type(exp):
-    return {m.mod_type: m.name for m in exp.config.mods}
 
 
 def _word_factor(caption: str, factor: str) -> str:
@@ -67,10 +64,16 @@ def _word_factor(caption: str, factor: str) -> str:
     return ""
 
 
-def _color_labels(captions) -> np.ndarray:
+def _color_labels(captions):
+    """(labels, valid): color-class ids plus a validity mask.  Captions with
+    no extractable color word are flagged invalid and dropped by callers —
+    silently mapping them to class 0 would train/score the judge against
+    ground-truth 'blue' for every unparseable caption."""
     table = {w: i for i, w in enumerate(FACTORS["color"])}
-    return np.array([table.get(_word_factor(c, "color"), 0)
-                     for c in captions])
+    words = [_word_factor(c, "color") for c in captions]
+    labels = np.array([table.get(w, 0) for w in words])
+    valid = np.array([w != "" for w in words], bool)
+    return labels, valid
 
 
 def cub_eval(trainer_or_infer) -> Dict[str, float]:
@@ -84,13 +87,16 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
     img_idx = exp.mod_names.index(mapping["image"])
     txt_idx = exp.mod_names.index(mapping["text"])
     model = CNNClassifier(num_classes=len(FACTORS["color"]))
-    cache = os.path.join(cache_dir, "cub_color_clf.pkl")
+    cache = os.path.join(cache_dir, "cub_color_clf_v2.pkl")
 
     def data_fn():
-        imgs, _ = exp.datamod.datasets[img_idx].get_data("train")
-        tdata, tmask = exp.datamod.datasets[txt_idx].get_data("train")
+        # TRAIN split only (calibration below scores the val split), and
+        # only captions whose color word actually parsed
+        imgs, _ = exp.datamod.split_arrays(img_idx, "train")
+        tdata, tmask = exp.datamod.split_arrays(txt_idx, "train")
         caps = text_utils.onehot2text(np.asarray(tdata), np.asarray(tmask))
-        return imgs.astype(np.float32), _color_labels(caps)
+        labels, valid = _color_labels(caps)
+        return imgs[valid].astype(np.float32), labels[valid]
 
     params = get_or_train_classifier(cache, model, data_fn, epochs=6)
     n = min(400, exp.datamod.n_val)
@@ -99,10 +105,13 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
         np.asarray(batch[mapping["text"]]["data"]),
         np.asarray(batch[mapping["text"]]["masks"]))
     stats = {}
-    # judge calibration on held-out REAL images (VERDICT r2 item 6)
+    gt_colors, gt_valid = _color_labels(gt_caps)
+    # judge calibration on held-out REAL images (VERDICT r2 item 6);
+    # unparseable captions are excluded from the denominator
     stats["judge_accuracy_real"] = judge_calibration(
-        model, params, np.asarray(batch[mapping["image"]]["data"]),
-        _color_labels(gt_caps), name="cub_color")
+        model, params,
+        np.asarray(batch[mapping["image"]]["data"])[gt_valid],
+        gt_colors[gt_valid], name="cub_color")
     # image -> caption: factor-word recall + letter accuracy
     recons = exp.cross_generate(mapping["image"],
                                 batch[mapping["image"]]["data"])
@@ -123,7 +132,7 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
     gen_imgs = np.clip(np.asarray(recons[mapping["image"]]), 0, 1)
     pred_color = predict(model, params, gen_imgs)
     stats["text_to_image_color"] = float(
-        (pred_color == _color_labels(gt_caps)).mean())
+        (pred_color[gt_valid] == gt_colors[gt_valid]).mean())
     try:
         from multimodal_vae_comparison_tpu.eval.fid import (
             calculate_fid_given_data)

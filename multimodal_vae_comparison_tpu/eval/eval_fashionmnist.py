@@ -13,13 +13,10 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, judge_calibration, predict)
+    CNNClassifier, get_or_train_classifier, judge_calibration,
+    mods_by_type as _mods_by_type, predict)
 from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
     latent_digit_accuracy)
-
-
-def _mods_by_type(exp):
-    return {m.mod_type: m.name for m in exp.config.mods}
 
 
 def fashionmnist_eval(trainer_or_infer) -> Dict[str, float]:
@@ -31,11 +28,12 @@ def fashionmnist_eval(trainer_or_infer) -> Dict[str, float]:
         os.path.dirname(os.path.abspath(__file__)), "classifiers"))
     img_idx = exp.mod_names.index(mapping["image"])
     model = CNNClassifier(num_classes=10)
-    cache = os.path.join(cache_dir, "fashionmnist_clf.pkl")
+    cache = os.path.join(cache_dir, "fashionmnist_clf_v2.pkl")
 
     def data_fn():
-        imgs, _ = exp.datamod.datasets[img_idx].get_data("train")
-        labels = np.asarray(exp.datamod.datasets[img_idx].labels())
+        # TRAIN split only: the calibration below scores the val split
+        imgs, _ = exp.datamod.split_arrays(img_idx, "train")
+        labels = np.asarray(exp.datamod.labels_train)
         return imgs.astype(np.float32), labels
 
     params = get_or_train_classifier(cache, model, data_fn, epochs=6)

@@ -17,7 +17,7 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, judge_calibration, predict)
+    digit_classifiers, judge_calibration, predict)
 
 
 def latent_digit_accuracy(exp, n: int = 2000) -> float:
@@ -41,20 +41,9 @@ def latent_digit_accuracy(exp, n: int = 2000) -> float:
 
 
 def _digit_classifiers(exp, cache_dir: str):
-    out = {}
-    for i, name in enumerate(exp.mod_names):
-        ds = exp.datamod.datasets[i]
-        model = CNNClassifier(num_classes=10)
-        cache = os.path.join(cache_dir, f"mnistsvhn_digit_{name}.pkl")
-
-        def data_fn(i=i):
-            data, _ = exp.datamod.datasets[i].get_data("train")
-            labels = np.asarray(exp.datamod.datasets[i].labels())
-            return data.astype(np.float32), labels
-
-        out[name] = (model, get_or_train_classifier(cache, model, data_fn,
-                                                    epochs=6))
-    return out
+    # shared with PolyMNIST; trains on the TRAIN split only so the val-split
+    # calibration below is genuinely held out
+    return digit_classifiers(exp, cache_dir, prefix="mnistsvhn")
 
 
 def cross_coherence(exp, classifiers, n: int = 1000) -> Dict[str, float]:

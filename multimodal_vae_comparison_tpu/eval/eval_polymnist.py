@@ -22,25 +22,15 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    CNNClassifier, get_or_train_classifier, judge_calibration)
+    digit_classifiers, judge_calibration)
 from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
     cross_coherence, joint_coherence, latent_digit_accuracy)
 
 
 def _digit_classifiers(exp, cache_dir: str):
-    out = {}
-    for i, name in enumerate(exp.mod_names):
-        model = CNNClassifier(num_classes=10)
-        cache = os.path.join(cache_dir, f"polymnist_digit_{name}.pkl")
-
-        def data_fn(i=i):
-            data, _ = exp.datamod.datasets[i].get_data("train")
-            labels = np.asarray(exp.datamod.datasets[i].labels())
-            return data.astype(np.float32), labels
-
-        out[name] = (model, get_or_train_classifier(cache, model, data_fn,
-                                                    epochs=6))
-    return out
+    # shared builder (classifiers.digit_classifiers): trains on the TRAIN
+    # split only so the val-split calibration below is genuinely held out
+    return digit_classifiers(exp, cache_dir, prefix="polymnist")
 
 
 def polymnist_eval(trainer_or_infer) -> Dict[str, float]:

@@ -19,31 +19,26 @@ from typing import Dict
 import numpy as np
 
 from multimodal_vae_comparison_tpu.eval.classifiers import (
-    VideoClassifier, get_or_train_classifier, predict)
-
-
-def _mods_by_type(exp):
-    mapping = {}
-    for i, m in enumerate(exp.config.mods):
-        mapping[m.mod_type] = m.name
-    return mapping
+    VideoClassifier, get_or_train_classifier, mods_by_type as _mods_by_type,
+    predict)
 
 
 def _frames_train_data(exp, mapping):
+    # TRAIN split only: judge calibration scores the val split below
     frames_idx = exp.mod_names.index(mapping["frames"])
-    frames, _ = exp.datamod.datasets[frames_idx].get_data("train")
+    frames, _ = exp.datamod.split_arrays(frames_idx, "train")
     return frames.astype(np.float32)
 
 
 def _action_classifier(exp, cache_dir):
     mapping = _mods_by_type(exp)
     model = VideoClassifier(num_classes=9)
-    cache = os.path.join(cache_dir, "sprites_action_clf.pkl")
+    cache = os.path.join(cache_dir, "sprites_action_clf_v2.pkl")
 
     def data_fn():
         frames = _frames_train_data(exp, mapping)
         actions_idx = exp.mod_names.index(mapping["actions"])
-        actions, _ = exp.datamod.datasets[actions_idx].get_data("train")
+        actions, _ = exp.datamod.split_arrays(actions_idx, "train")
         return frames, np.argmax(actions, -1)
 
     return model, get_or_train_classifier(cache, model, data_fn, epochs=6)
@@ -54,12 +49,12 @@ def _attribute_classifier(exp, cache_dir):
     frame2attributes role (reference eval_sprites.py:60-62)."""
     mapping = _mods_by_type(exp)
     model = VideoClassifier(num_classes=6, heads=4, hidden=48)
-    cache = os.path.join(cache_dir, "sprites_att_clf_v2.pkl")
+    cache = os.path.join(cache_dir, "sprites_att_clf_v3.pkl")
 
     def data_fn():
         frames = _frames_train_data(exp, mapping)
         atts_idx = exp.mod_names.index(mapping["attributes"])
-        atts, _ = exp.datamod.datasets[atts_idx].get_data("train")
+        atts, _ = exp.datamod.split_arrays(atts_idx, "train")
         return frames, np.argmax(atts, -1)  # (N, 4) integer targets
 
     # appearance attributes need a longer-trained judge than the action

@@ -49,7 +49,6 @@ class MultimodalVAEInfer:
                 obj=self.model.obj, beta=self.model.beta, K=1,
                 dtype=self.model.dtype, remat=self.model.remat)
         self.params = self._restore()
-        self.level = getattr(self, "level", 1)
 
     def _restore(self):
         import orbax.checkpoint as ocp
@@ -170,7 +169,10 @@ class MultimodalVAEInfer:
         mus, scales = [], []
         seen = 0
         D = self.model.n_latents
-        for batch in self.datamod.batches("train", batch_size=64):
+        # drop_remainder=False: a tiny train split (< one batch) must still
+        # yield its samples, or np.concatenate below gets an empty list
+        for batch in self.datamod.batches("train", batch_size=64,
+                                          drop_remainder=False):
             out = self.forward(
                 {n: batch[n] for n in self.mod_names},
                 present=tuple(self.mod_names))

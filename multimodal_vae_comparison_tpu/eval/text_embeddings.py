@@ -57,8 +57,10 @@ class SIFEmbeddings:
         toks = [_tokenize(s) for s in sentences]
         for t in toks:
             counts.update(t)
-        self.vocab = {w: i for i, (w, c) in enumerate(counts.items())
-                      if c >= self.min_occur}
+        # filter BEFORE assigning ids: enumerate over the unfiltered
+        # counter leaves gaps, and a kept word could get an id >= V
+        kept = [w for w, c in counts.items() if c >= self.min_occur]
+        self.vocab = {w: i for i, w in enumerate(kept)}
         V = len(self.vocab)
         assert V > 0, "empty vocabulary"
         # symmetric co-occurrence within the window; the diagonal counts the

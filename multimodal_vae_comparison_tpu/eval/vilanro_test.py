@@ -37,6 +37,12 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     the population turns a replan-every-step eval into at most
     ``max_steps`` forwards total, ~trials x fewer."""
     envs = [make(env_id, seed=seed + 1000 * t) for t in range(trials)]
+    env_adim = getattr(envs[0], "action_dim", 4)
+    assert env_adim == 4, (
+        f"{env_id} expects {env_adim}-dim actions; this evaluator replays "
+        "4-dim end-effector trajectories (dx,dy,dz,gripper — the reference "
+        "protocol).  Joint-space Panda*/relative_joints envs need a model "
+        "trained on 8-dim joint trajectories and are not supported here.")
     # modality roles from config mod_types
     mapping = {m.mod_type: m.name for m in exp.config.mods}
     lang_mod = mapping.get("language")

@@ -1,0 +1,109 @@
+"""Judge-training holdout contract (round-3 review finding).
+
+Judged evals without a ``test_datapath`` sample the VAL split, so every
+judge must train on the TRAIN split only — otherwise the printed
+``*_judge_accuracy_real`` calibration scores the judge on its own training
+data.  These tests pin the split accessor, the multi-head accuracy
+normalization, and one full judged eval end-to-end (FashionMNIST, the
+cheapest family).
+"""
+import os
+
+import numpy as np
+
+from multimodal_vae_comparison_tpu.config import Config
+from multimodal_vae_comparison_tpu.training.trainer import Trainer
+
+
+def test_split_arrays_disjoint_and_label_aligned(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 40
+    np.savez(os.path.join(str(tmp_path), "fashionmnist.npz"),
+             data=rng.integers(0, 255, (n, 28, 28), dtype=np.uint8),
+             labels=np.arange(n) % 10)
+    cfg = Config({
+        "batch_size": 4, "epochs": 1, "exp_name": "t", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "fashionmnist",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": str(tmp_path)},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN", "mod_type": "label",
+                       "path": str(tmp_path)},
+    }, results_root=str(tmp_path))
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+    dm = DataModule(cfg)
+    dm.setup()
+    train_imgs, _ = dm.split_arrays(0, "train")
+    val_imgs, _ = dm.split_arrays(0, "val")
+    assert len(train_imgs) == 30 and len(val_imgs) == 10
+    # disjoint: no val image appears in the train split
+    tr = {im.tobytes() for im in train_imgs}
+    assert not any(im.tobytes() in tr for im in val_imgs)
+    # labels_train aligns with the one-hot label modality's train split
+    lab_onehot, _ = dm.split_arrays(1, "train")
+    np.testing.assert_array_equal(np.argmax(lab_onehot, -1),
+                                  np.asarray(dm.labels_train))
+
+
+def test_multihead_accuracy_normalized():
+    from multimodal_vae_comparison_tpu.eval.classifiers import (
+        VideoClassifier, classifier_accuracy)
+    import jax
+
+    model = VideoClassifier(num_classes=3, heads=4, hidden=4)
+    imgs = np.random.default_rng(0).random((6, 2, 8, 8, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs[:1])
+    labels = np.random.default_rng(1).integers(0, 3, (6, 4))
+    acc = classifier_accuracy(model, params, imgs, labels)
+    assert 0.0 <= acc <= 1.0  # was up to `heads`x inflated
+
+
+def test_fashionmnist_eval_end_to_end(tmp_path):
+    """Full judged eval on a tiny 1-epoch model: the judge trains on the
+    train split, calibration runs on val, and all stats are fractions."""
+    rng = np.random.default_rng(2)
+    n = 48
+    np.savez(os.path.join(str(tmp_path), "fashionmnist.npz"),
+             data=rng.integers(0, 255, (n, 28, 28), dtype=np.uint8),
+             labels=np.arange(n) % 10)
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "fm", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "fashionmnist",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": str(tmp_path)},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN", "mod_type": "label",
+                       "path": str(tmp_path), "recon_loss": "category_ce"},
+    }, results_root=str(tmp_path))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    os.environ["FASHIONMNIST_CLASSIFIER_DIR"] = str(tmp_path / "clf")
+    try:
+        from multimodal_vae_comparison_tpu.eval.eval_fashionmnist import (
+            fashionmnist_eval)
+        stats = fashionmnist_eval(trainer)
+    finally:
+        del os.environ["FASHIONMNIST_CLASSIFIER_DIR"]
+    for k, v in stats.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+    assert "judge_accuracy_real" in stats
+
+
+def test_cub_color_labels_validity():
+    from multimodal_vae_comparison_tpu.eval.eval_cub import _color_labels
+    labels, valid = _color_labels([
+        "a small blue bird with a yellow belly",
+        "this bird has feathers",            # no color word -> invalid
+        "a large bird that is red",
+    ])
+    np.testing.assert_array_equal(valid, [True, False, True])
+    assert labels[0] == 0 and labels[2] == 1  # blue, red
+
+
+def test_sif_embeddings_min_occur():
+    from multimodal_vae_comparison_tpu.eval.text_embeddings import (
+        SIFEmbeddings)
+    sents = ["red ball", "red cube", "blue ball", "rare"]
+    emb = SIFEmbeddings(min_occur=2).fit(sents)   # 'cube'/'rare' filtered
+    assert set(emb.vocab) == {"red", "ball"}
+    assert sorted(emb.vocab.values()) == [0, 1]   # ids contiguous
