@@ -9,11 +9,13 @@ grammar, 5 difficulty levels and the ``traindata.h5`` output contract (keys
 'image' uint8 NHWC + 'text' bytes) match the reference, so the training
 configs and the eval benchmark run unchanged.
 
-Levels (reference README):
+Levels (reference config_levelN.json; shapes are TEXTURED from level 3 —
+"textured": ["shapes"] appears in config_level3.json, and the background
+texture joins at level 5):
   1: shape                              "square"
   2: + size                            "big square"
-  3: + color                           "big red square"
-  4: + position (textured shapes)      "big red square at top left"
+  3: + color (textured shapes)         "big red square"
+  4: + position                        "big red square at top left"
   5: + background (textured)           "... on dark"
 """
 from __future__ import annotations

@@ -95,16 +95,22 @@ def _digits_as_svhn(images: np.ndarray, rng) -> np.ndarray:
 def _write(out_dir: str, mnist, mlab, svhn, slab, pairs_train: int,
            pairs_test: int, test_fraction: float, rng) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    n_test = int(len(mlab) * test_fraction)
-    split = {"test": slice(0, n_test), "train": slice(n_test, None)}
     np.savez(os.path.join(out_dir, "mnist.npz"), data=mnist, labels=mlab)
     np.savez(os.path.join(out_dir, "svhn.npz"), data=svhn, labels=slab)
-    for tag, sl in split.items():
-        base = np.arange(len(mlab))[sl]
+    # per-modality split indices: real MNIST (60k) and SVHN (73k) are NOT
+    # the same length, so one shared index range would drop or overrun
+    n_test_m = int(len(mlab) * test_fraction)
+    n_test_s = int(len(slab) * test_fraction)
+    splits = {
+        "test": (np.arange(n_test_m), np.arange(n_test_s)),
+        "train": (np.arange(n_test_m, len(mlab)),
+                  np.arange(n_test_s, len(slab))),
+    }
+    for tag, (base_m, base_s) in splits.items():
         pairs = pairs_train if tag == "train" else pairs_test
-        ia, ib = pair_indices(mlab[base], slab[base], pairs, rng)
-        np.save(os.path.join(out_dir, f"mnist_idx_{tag}.npy"), base[ia])
-        np.save(os.path.join(out_dir, f"svhn_idx_{tag}.npy"), base[ib])
+        ia, ib = pair_indices(mlab[base_m], slab[base_s], pairs, rng)
+        np.save(os.path.join(out_dir, f"mnist_idx_{tag}.npy"), base_m[ia])
+        np.save(os.path.join(out_dir, f"svhn_idx_{tag}.npy"), base_s[ib])
 
 
 def build_surrogate(out_dir: str, pairs_train: int = 20, pairs_test: int = 5,

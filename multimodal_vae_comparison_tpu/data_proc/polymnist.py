@@ -62,17 +62,26 @@ def _build(glyphs28: np.ndarray, labels: np.ndarray, out_dir: str,
     bgs = _backgrounds(rng)
     by_class = {d: np.where(labels == d)[0] for d in range(10)}
     by_class = {d: v for d, v in by_class.items() if len(v)}
+    # split each class's glyph INSTANCES into disjoint train/test pools —
+    # drawing both splits from one pool leaks training digits into test and
+    # inflates every judged/classified test metric by memorization
+    pools = {}
+    for d, idx in by_class.items():
+        idx = rng.permutation(idx)
+        n_test_pool = max(1, int(0.15 * len(idx))) if len(idx) > 1 else 0
+        pools[d] = {"test_": idx[:n_test_pool], "": idx[n_test_pool:]}
     for tag, n in (("", samples_train), ("test_", samples_test)):
-        classes = sorted(by_class)
+        by_split = {d: p[tag] for d, p in pools.items() if len(p[tag])}
+        classes = sorted(by_split)
         lab = rng.integers(0, 10, n)
         # absent labels (non-contiguous class sets) map onto a present class
-        lab = np.array([d if d in by_class else classes[d % len(classes)]
+        lab = np.array([d if d in by_split else classes[d % len(classes)]
                         for d in lab])
         # five different instances of the same class, one per modality
         # (without replacement whenever the class has >=5 members)
         picks = np.empty((5, n), np.int64)
         for j, d in enumerate(lab):
-            pool = by_class[d]
+            pool = by_split[d]
             picks[:, j] = rng.choice(pool, size=5, replace=len(pool) < 5)
         for mod in range(5):
             imgs = _compose(glyphs28[picks[mod]], mod, bgs[mod])

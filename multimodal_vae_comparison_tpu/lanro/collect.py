@@ -222,6 +222,7 @@ def expert_suffix(env, max_len: int = 100,
     on a deep copy (the kinematic sim is pure numpy, cloning is cheap)."""
     import copy
     sim_env = copy.deepcopy(env)
+    sim_env.render_obs = False   # obs frames are discarded; skip rendering
     traj = []
     ee_log = [sim_env.sim.ee.copy()]
     done = False

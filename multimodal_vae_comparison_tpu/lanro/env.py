@@ -140,7 +140,11 @@ class LanroEnv:
         return -float(self._goal_distance())   # dense
 
     def _obs(self) -> Dict:
-        obs = {"rgb": self.sim.render(), "instruction": self.instruction,
+        # render_obs=False skips the cv2 rasterization for consumers that
+        # never read obs["rgb"] (e.g. expert_suffix rollouts, which only
+        # need the EE log — tens of thousands of frames per DAgger batch)
+        rgb = self.sim.render() if getattr(self, "render_obs", True) else None
+        obs = {"rgb": rgb, "instruction": self.instruction,
                "ee": self.sim.ee.copy(), "gripper": self.sim.gripper}
         if self.sim.use_arm:
             obs["joints"] = self.sim.joints.copy()
@@ -200,8 +204,19 @@ class GymnasiumEnv:
     def __init__(self, **kwargs):
         self._env = LanroEnv(**kwargs)
         a = self._env.action_dim
-        self.action_space = Box(low=-np.ones(a, np.float32),
-                                high=np.ones(a, np.float32))
+        if self._env.action_type == "relative_joints":
+            # joint mode scales [-1,1] commands by MAX_JOINT_STEP internally
+            low, high = -np.ones(a, np.float32), np.ones(a, np.float32)
+        else:
+            # end-effector mode consumes raw meters clipped at MAX_STEP per
+            # axis (simulation.step), gripper command in [-1,1]; advertise
+            # the true envelope so action_space.sample()/contains match the
+            # dynamics instead of saturating every |a| >= 0.04
+            from multimodal_vae_comparison_tpu.lanro.simulation import (
+                MAX_STEP)
+            low = np.array([-MAX_STEP] * 3 + [-1.0], np.float32)
+            high = np.array([MAX_STEP] * 3 + [1.0], np.float32)
+        self.action_space = Box(low=low, high=high)
         self.observation_space = {
             "rgb": Box(low=np.zeros((64, 64, 3), np.float32),
                        high=np.full((64, 64, 3), 255, np.float32)),

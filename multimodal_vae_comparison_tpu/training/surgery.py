@@ -42,22 +42,31 @@ def grow_latents(params: Dict[str, Any], model, new_n_latents: int,
     assert new_n_latents >= model.n_latents, \
         "New latent size must be the same or larger than the current one"
     delta = new_n_latents - model.n_latents
+    # carry EVERY ctor field (remat included — dropping it would silently
+    # disable rematerialization on the grown model)
     new_model = type(model)(specs=model.specs, n_latents=new_n_latents,
                             obj=model.obj, beta=model.beta, K=model.K,
-                            dtype=model.dtype)
+                            dtype=model.dtype,
+                            remat=getattr(model, "remat", False))
     if delta == 0:
         return new_model, params
 
     rng = jax.random.PRNGKey(seed)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
-    new_leaves = []
+    paths = []
     for path, leaf in flat:
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        path_str = "/".join(str(k) for k in keys)
+        paths.append("/".join(str(k) for k in keys))
+    # the z-consuming dense layer is the FIRST matching kernel per decoder
+    # in creation order (flax names layers Dense_0, Dense_1, ...): matching
+    # on input dim alone would also pad later hidden layers whose width
+    # happens to equal n_latents
+    input_kernels = _decoder_input_kernels(model, paths, [l for _, l in flat])
+    new_leaves = []
+    for path_str, (path, leaf) in zip(paths, flat):
         rng, sub = jax.random.split(rng)
         out = leaf
-        old_out = model.n_latents + 0
         # encoder heads: widen output axis (last)
         if ("mu_layer" in path_str or "logvar_layer" in path_str) and \
                 leaf.ndim >= 1 and leaf.shape[-1] == _head_dim(model, path_str):
@@ -66,7 +75,7 @@ def grow_latents(params: Dict[str, Any], model, new_n_latents: int,
         elif "pz_logvar" in path_str and leaf.shape[-1] == model.n_latents:
             out = _pad_axis(leaf, leaf.ndim - 1, new_n_latents, sub)
         # decoder first dense: widen input axis (0) of the kernel
-        elif _is_decoder_input_kernel(model, path_str, leaf):
+        elif path_str in input_kernels:
             out = _pad_axis(leaf, 0, leaf.shape[0] + delta, sub)
         new_leaves.append(out)
     new_params = jax.tree_util.tree_unflatten(treedef, new_leaves)
@@ -81,13 +90,19 @@ def _head_dim(model, path_str: str) -> int:
     return model.n_latents
 
 
-def _is_decoder_input_kernel(model, path_str: str, leaf) -> bool:
-    if "kernel" not in path_str or leaf.ndim != 2:
-        return False
-    for spec in model.specs:
-        total = model.n_latents + (spec.private_latents or 0)
-        if (f"dec_{spec.name}" in path_str
-                and leaf.shape[0] in (model.n_latents, total)):
-            # first dense layer consuming z
-            return True
-    return False
+def _decoder_input_kernels(model, paths, leaves) -> set:
+    """Paths of the single z-consuming dense kernel per decoder: the first
+    (creation-order) 2-D kernel whose input dim equals that modality's
+    latent size."""
+    chosen = {}
+    for path_str, leaf in zip(paths, leaves):
+        if "kernel" not in path_str or leaf.ndim != 2:
+            continue
+        for spec in model.specs:
+            total = model.n_latents + (spec.private_latents or 0)
+            if (f"dec_{spec.name}" in path_str
+                    and leaf.shape[0] in (model.n_latents, total)):
+                key = spec.name
+                if key not in chosen or path_str < chosen[key]:
+                    chosen[key] = path_str
+    return set(chosen.values())

@@ -100,21 +100,7 @@ def make_epoch_runner(model, tx, reshuffle: bool = True):
     datasets (cfg.scan_epochs / auto-size check in Trainer.fit).
     """
 
-    def train_step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-
-        def loss_fn(params):
-            return model.apply(params, batch, rngs={"sample": rng},
-                               method=model.objective)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), metrics
+    train_step = make_train_step(model, tx, jit=False)
 
     def epoch_fn(state, epoch_data, rng):
         # fresh sample order every epoch: permute the staged samples on
@@ -142,7 +128,7 @@ def make_epoch_runner(model, tx, reshuffle: bool = True):
     return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
-def make_eval_step(model):
+def make_eval_step(model, jit: bool = True):
     def eval_step(params, batch, rng):
         loss, metrics = model.apply(params, batch, rngs={"sample": rng},
                                     method=model.objective)
@@ -150,19 +136,18 @@ def make_eval_step(model):
         metrics["loss"] = loss
         return metrics
 
+    if not jit:
+        return eval_step
     return jax.jit(eval_step)
 
 
 def make_eval_runner(model):
     """Whole-val-split lax.scan evaluation (one dispatch per validation)."""
+    eval_step = make_eval_step(model, jit=False)
 
     def eval_fn(params, staged, rng):
         def body(carry, batch):
-            loss, metrics = model.apply(params, batch, rngs={"sample": rng},
-                                        method=model.objective)
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            return carry, metrics
+            return carry, eval_step(params, batch, rng)
 
         _, metrics = jax.lax.scan(body, None, staged)
         return jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), metrics)
@@ -181,9 +166,18 @@ class CSVLogger:
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         metrics = {"step": step, **metrics}
         if self._keys is None:
-            self._keys = list(metrics.keys())
-            with open(self.path, "w") as f:
-                f.write(",".join(self._keys) + "\n")
+            # resume-safe: append to an existing file (reusing its header
+            # key order) instead of truncating the earlier epochs' rows
+            existing = None
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    existing = f.readline().strip()
+            if existing:
+                self._keys = existing.split(",")
+            else:
+                self._keys = list(metrics.keys())
+                with open(self.path, "w") as f:
+                    f.write(",".join(self._keys) + "\n")
         with open(self.path, "a") as f:
             f.write(",".join(str(metrics.get(k, "")) for k in self._keys) + "\n")
 
@@ -241,6 +235,16 @@ class Trainer:
             os.makedirs(os.path.join(mPath, "visuals"), exist_ok=True)
             self.cfg.dump_config()
             self.csv = CSVLogger(os.path.join(mPath, "metrics.csv"))
+            # re-point TensorBoard too, or seeds 2..N write into seed 1's
+            # tb dir with overlapping step counters
+            if self._tb is not None:
+                try:
+                    from tensorboardX import SummaryWriter
+                    self._tb.close()
+                    self._tb = SummaryWriter(
+                        logdir=os.path.join(mPath, "tb"))
+                except Exception:
+                    self._tb = None
         self.datamodule = DataModule(self.cfg)
         self.datamodule.setup()
         self._staged_epoch = None

@@ -138,3 +138,17 @@ def test_polymnist_builder_and_labels(tmp_path):
     assert np.array_equal(ds.labels(),
                           np.load(os.path.join(out, "test_labels.npy")))
     assert ds.eval_statistics_fn() is not None
+
+
+def test_polymnist_train_test_instances_disjoint(tmp_path):
+    """Regression: test-set glyph instances must come from a held-out pool —
+    identical instances in both splits inflate judged test metrics."""
+    from multimodal_vae_comparison_tpu.data_proc.polymnist import (
+        build_surrogate)
+    out = build_surrogate(str(tmp_path), samples_train=60, samples_test=30,
+                          seed=1)
+    for m in range(5):
+        train = np.load(os.path.join(out, f"m{m}.npy"))
+        test = np.load(os.path.join(out, f"test_m{m}.npy"))
+        train_rows = {t.tobytes() for t in train}
+        assert not any(t.tobytes() in train_rows for t in test)

@@ -81,3 +81,25 @@ def test_text_embedding_analysis_separates_matched_from_shuffled():
              " ".join(vocab[rng.integers(len(vocab))]) for g in gt]
     out = text_embedding_analysis(gt, recon, dim=16)
     assert out["embedding_cosine"] > out["embedding_cosine_shuffled_baseline"]
+
+
+def test_write_handles_unequal_modality_lengths(tmp_path):
+    """Regression: real MNIST (60k) and SVHN (73k) differ in length; the
+    pairing must use per-modality index ranges, not one shared range."""
+    rng = np.random.default_rng(0)
+    mnist = rng.integers(0, 255, (40, 28, 28, 1), dtype=np.uint8)
+    svhn = rng.integers(0, 255, (70, 32, 32, 3), dtype=np.uint8)
+    mlab = np.arange(40) % 10
+    slab = np.arange(70) % 10
+    mnistsvhn._write(str(tmp_path), mnist, mlab, svhn, slab,
+                     pairs_train=2, pairs_test=1, test_fraction=0.2, rng=rng)
+    for tag in ("train", "test"):
+        ia = np.load(os.path.join(str(tmp_path), f"mnist_idx_{tag}.npy"))
+        ib = np.load(os.path.join(str(tmp_path), f"svhn_idx_{tag}.npy"))
+        assert ia.max() < 40 and ib.max() < 70
+        np.testing.assert_array_equal(mlab[ia], slab[ib])
+    # SVHN indices beyond len(mnist) are reachable (nothing silently dropped)
+    ib_all = np.concatenate([
+        np.load(os.path.join(str(tmp_path), "svhn_idx_train.npy")),
+        np.load(os.path.join(str(tmp_path), "svhn_idx_test.npy"))])
+    assert ib_all.max() >= 40

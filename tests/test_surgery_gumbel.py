@@ -68,3 +68,31 @@ def test_gumbel_objective_trains():
     total = sum(float(jnp.abs(x).sum())
                 for x in jax.tree_util.tree_leaves(g))
     assert total > 0
+
+
+def test_grow_latents_hidden_dim_equal_to_latents():
+    """Regression: a hidden Dense whose width equals n_latents must NOT get
+    its input axis padded — only the first (z-consuming) kernel per decoder
+    changes shape."""
+    spec = (ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                         feature_dims=(10,), recon_loss="mse"),)
+    model = UnimodalVAE(specs=spec, n_latents=128)  # == Dec_FNN hidden_dim
+    batch = {"mod_1": {"data": jnp.ones((2, 10)), "masks": None}}
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, batch, method=model.objective)
+    new_model, new_params = grow_latents(params, model, 130)
+    loss, _ = new_model.apply(new_params, batch,
+                              rngs={"sample": jax.random.PRNGKey(2)},
+                              method=new_model.objective)
+    assert np.isfinite(float(loss))
+
+
+def test_grow_latents_keeps_remat():
+    spec = (ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                         feature_dims=(10,), recon_loss="mse"),)
+    model = UnimodalVAE(specs=spec, n_latents=4, remat=True)
+    batch = {"mod_1": {"data": jnp.ones((2, 10)), "masks": None}}
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, batch, method=model.objective)
+    new_model, _ = grow_latents(params, model, 6)
+    assert new_model.remat is True

@@ -181,3 +181,18 @@ def test_all_shipped_configs_parse():
         cfg = Config(p, eval_only=True)
         assert cfg.mixing.lower() in MIXING_REGISTRY, p
         assert len(cfg.mods) >= 1, p
+
+
+def test_csv_logger_appends_on_resume(tmp_path):
+    """Regression: a resumed run's first log must append to the existing
+    metrics.csv (reusing its header), not truncate the earlier epochs."""
+    from multimodal_vae_comparison_tpu.training.trainer import CSVLogger
+    path = os.path.join(str(tmp_path), "metrics.csv")
+    log1 = CSVLogger(path)
+    log1.log(0, {"train_loss": 1.0})
+    log1.log(1, {"train_loss": 0.9})
+    log2 = CSVLogger(path)  # fresh instance = resumed process
+    log2.log(2, {"train_loss": 0.8})
+    rows = open(path).read().strip().splitlines()
+    assert rows[0] == "step,train_loss"
+    assert len(rows) == 4  # header + 3 data rows, nothing truncated
