@@ -282,10 +282,20 @@ class Enc_TxtRNN(VaeEncoder):
         b, t = data.shape[0], data.shape[1]
         x = data.reshape(b, t, -1)
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="embed")(x)
-        fwd = nn.RNN(nn.GRUCell(self.hidden_size), name="gru_fwd")(x)
-        bwd = nn.RNN(nn.GRUCell(self.hidden_size), reverse=True,
-                     name="gru_bwd")(x)
-        h = fwd[:, -1, :] + bwd[:, 0, :]
+        # final carries via seq_lengths: the forward summary stops at each
+        # sequence's true end (not after consuming padding), and the
+        # backward carry is the state after the FULL right-to-left pass —
+        # indexing outputs (old fwd[:, -1] + bwd[:, 0]) read padded steps
+        # forward and only the last token backward (flax reverse=True
+        # leaves outputs in flipped order by default)
+        lengths = (mask.reshape(b, t).sum(-1).astype(jnp.int32)
+                   if mask is not None else jnp.full((b,), t, jnp.int32))
+        fwd, _ = nn.RNN(nn.GRUCell(self.hidden_size), name="gru_fwd")(
+            x, seq_lengths=lengths, return_carry=True)
+        bwd, _ = nn.RNN(nn.GRUCell(self.hidden_size), reverse=True,
+                        name="gru_bwd")(x, seq_lengths=lengths,
+                                        return_carry=True)
+        h = fwd + bwd
         ps = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="o2p")(h)
         mu, raw = jnp.split(ps, 2, axis=-1)
         scale = jax.nn.softmax(raw.astype(jnp.float32), axis=-1) + ETA

@@ -37,6 +37,15 @@ from multimodal_vae_comparison_tpu.ops.fusion import (
     mixture_component_selection, product_of_experts, subset_lattice)
 
 
+def _kmean(lpx):
+    """Average a (K, B) likelihood term over the K sample axis.
+
+    ELBO objectives pair reconstruction terms with a KL that has no K axis;
+    summing over K would scale recon K-fold and silently shrink the
+    effective beta by K.  (B,)-shaped terms pass through unchanged."""
+    return lpx.mean(axis=0) if lpx.ndim == 2 else lpx
+
+
 def _mask_of(batch, name):
     return batch[name].get("masks")
 
@@ -109,7 +118,10 @@ class MOE(MMVAE):
             kld = self.kld_std(spec, qz)
             klds.append(kld)
             lpx_own = self.recon_lpx(spec, mo.decoder_dist, batch)
-            rec_per_mod[spec.name] = -jnp.sum(lpx_own)
+            # metric convention (shared with POE/MoPoE/DMVAE): K-averaged,
+            # llik_scaling divided out, batch-summed
+            rec_per_mod[spec.name] = (-jnp.sum(_kmean(lpx_own))
+                                      / spec.llik_scaling)
             lpx_terms.append(lpx_own)
             for other, cross_dist in mo.cross_decoder_dist.items():
                 lpx_cross = self.recon_lpx(spec, cross_dist, batch)
@@ -120,11 +132,12 @@ class MOE(MMVAE):
                         out.mods[other].encoder_dist.log_prob(z_o).sum(-1))
                     lpx_cross = jnp.exp(lq_self - lq_other) * lpx_cross
                 lpx_terms.append(lpx_cross)
-        lpx = jnp.stack([t.reshape(-1) for t in lpx_terms])
+        lpx = jnp.stack([_kmean(t) for t in lpx_terms])
         kld = jnp.stack(klds)
         loss = objectives.elbo(lpx, kld, self.beta) / len(self.specs)
-        metrics = {"kld": jnp.sum(kld), **{f"reconstruction_loss_{k}": v
-                                           for k, v in rec_per_mod.items()}}
+        metrics = {"kld": jnp.sum(jnp.mean(kld, axis=-1)),
+                   **{f"reconstruction_loss_{k}": v
+                      for k, v in rec_per_mod.items()}}
         return loss, metrics
 
     def _objective_kweighted(self, batch):
@@ -167,7 +180,8 @@ class MOE(MMVAE):
                     dec = self.decode_mod(tgt, z_r, _mask_of(batch, tgt))
                     lpx_t = self.recon_lpx(self.spec(tgt), dec, batch)
                     if tgt == spec.name:
-                        rec_per_mod[spec.name] = -jnp.sum(lpx_t)
+                        rec_per_mod[spec.name] = (-jnp.sum(_kmean(lpx_t))
+                                                  / self.spec(tgt).llik_scaling)
                     lpx_all = lpx_t if lpx_all is None else lpx_all + lpx_t
                 lws.append(lpz + lpx_all - self.beta * lqz)
             return jnp.stack(lws)                             # (M, K, B)
@@ -238,12 +252,13 @@ class POE(MMVAE):
             kld = kl_divergence(any_mod.joint_dist, pz).sum(-1)
             lpx_sum = jnp.zeros(())
             for spec in self.specs:
-                lpx = self.recon_lpx(spec, out.mods[spec.name].decoder_dist, batch)
+                lpx = _kmean(self.recon_lpx(
+                    spec, out.mods[spec.name].decoder_dist, batch))
                 lpx_sum = lpx_sum + jnp.sum(lpx)
                 if len(present) == 1 and present[0] == spec.name:
                     rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
             total = total + (-(lpx_sum - self.beta * jnp.sum(kld)))
-            total_kld = total_kld + jnp.mean(jnp.sum(kld))
+            total_kld = total_kld + jnp.mean(kld)
         metrics = {"kld": total_kld / len(lattice),
                    **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}
         return total, metrics
@@ -311,8 +326,8 @@ class MoPOE(MMVAE):
         rec_per_mod = {}
         for spec in self.specs:
             dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
-            lpx = self.recon_lpx(spec, dec, batch)
-            lpx_total = lpx_total + jnp.mean(jnp.sum(lpx, axis=0))
+            lpx = _kmean(self.recon_lpx(spec, dec, batch))
+            lpx_total = lpx_total + jnp.mean(lpx)
             rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
         loss = -(lpx_total - self.beta * group_div)
         metrics = {"kld": group_div,
@@ -382,23 +397,25 @@ class DMVAE(MMVAE):
         rec_per_mod = {}
         for spec in self.specs:
             mo = out.mods[spec.name]
-            lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
+            lpx = _kmean(self.recon_lpx(spec, mo.decoder_dist, batch))
             kld = kl_divergence(mo.encoder_dist, pz).sum(-1)
-            lpx_joint = self.recon_lpx(spec, mo.joint_decoder_dist, batch)
+            lpx_joint = _kmean(self.recon_lpx(spec, mo.joint_decoder_dist,
+                                              batch))
             kld_joint = kl_divergence(mo.joint_dist, pz).sum(-1)
             prior_priv = Normal(jnp.zeros((1, spec.private_latents)),
                                 jnp.ones((1, spec.private_latents)))
             lpx_cross = jnp.zeros(())
             kld_priv = jnp.zeros(())
             for other, cross in mo.cross_decoder_dist.items():
-                lpx_cross = lpx_cross + jnp.sum(self.recon_lpx(spec, cross, batch))
+                lpx_cross = lpx_cross + jnp.sum(
+                    _kmean(self.recon_lpx(spec, cross, batch)))
                 kld_priv = kld_priv + jnp.sum(
                     self.kld_std(spec, mo.enc_dist_private))
             loss_m = (objectives.elbo(lpx, kld, self.beta)
                       + objectives.elbo(lpx_joint, kld_joint, self.beta)
                       + (-(lpx_cross - self.beta * kld_priv)))
             total = total + loss_m
-            total_kld = total_kld + jnp.sum(kld)
+            total_kld = total_kld + jnp.mean(kld)
             rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
         metrics = {"kld": total_kld / len(self.specs),
                    **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}

@@ -369,21 +369,6 @@ class AttentionResidualBlock(nn.Module):
         return x + h
 
 
-def strided_sparsity_bias(seq_len: int, block: int, stride: int) -> jnp.ndarray:
-    """Static additive attention bias reproducing VideoGPT's strided sparse
-    pattern (local block + strided columns).  Built once at trace time; XLA
-    folds it into the attention einsum.  Reference: StridedSparsityConfig
-    (nn_modules.py:624-882) backed by DeepSpeed CUDA kernels.  This is the
-    element-level dense emulation; StridedSparseSelfAttention below uses the
-    real block-sparse Pallas kernel that skips the dead blocks."""
-    q = jnp.arange(seq_len)[:, None]
-    k = jnp.arange(seq_len)[None, :]
-    same_block = (q // block) == (k // block)
-    strided = ((q - k) % stride) == 0
-    visible = jnp.logical_and(k <= q, jnp.logical_or(same_block, strided))
-    return jnp.where(visible, 0.0, -1e9)
-
-
 class StridedSparseSelfAttention(nn.Module):
     """VideoGPT's 'sparse' attention type as a real block-sparse kernel.
 

@@ -61,10 +61,10 @@ def _poe_pallas(mus, scales, prior_precision):
 
 
 def _poe_reference(mus, scales, prior_precision):
-    precision = 1.0 / (jnp.square(scales) + EPS)
-    denom = jnp.sum(precision, axis=0) + prior_precision
-    mu = jnp.sum(mus * precision, axis=0) / denom
-    return mu, jnp.sqrt(1.0 / denom)
+    # single source of truth for the fusion math: the public jnp path in
+    # ops/fusion.py (lazy import — fusion imports this module lazily too)
+    from multimodal_vae_comparison_tpu.ops.fusion import poe_precision_fusion
+    return poe_precision_fusion(mus, scales, prior_precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

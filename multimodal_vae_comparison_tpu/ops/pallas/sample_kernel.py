@@ -27,16 +27,27 @@ _INTERPRET = False
 TWO_PI = 2.0 * math.pi
 
 
-def _sample_kernel(seed_ref, mu_ref, scale_ref, z_ref, eps_ref):
-    pltpu.prng_seed(seed_ref[0])
-    shape = mu_ref.shape
-    # two independent uniform draws for Box-Muller
-    bits_a = pltpu.prng_random_bits(shape)
-    bits_b = pltpu.prng_random_bits(shape)
+def _boxmuller_from_bits(bits_a, bits_b):
+    """uint32 random bits -> standard normals (Box-Muller).
+
+    Shared by the kernel body and its CPU contract test.  Inputs MUST be
+    uint32: with signed int32 the >> is an arithmetic shift, u1 goes
+    negative for ~half the lanes, and log(u1) = NaN poisons every sample.
+    """
     # uint32 -> (0, 1]: keep 24 mantissa-ish bits for a clean float
     u1 = (bits_a >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
     u2 = (bits_b >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def _sample_kernel(seed_ref, mu_ref, scale_ref, z_ref, eps_ref):
+    pltpu.prng_seed(seed_ref[0])
+    shape = mu_ref.shape
+    # two independent draws for Box-Muller; prng_random_bits returns SIGNED
+    # int32 on this stack, so bitcast to uint32 before the shift
+    bits_a = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits_b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    eps = _boxmuller_from_bits(bits_a, bits_b)
     eps_ref[:] = eps
     z_ref[:] = mu_ref[:] + scale_ref[:] * eps
 

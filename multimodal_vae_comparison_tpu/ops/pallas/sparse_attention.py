@@ -5,7 +5,7 @@ kernels for a strided sparsity pattern (nn_modules.py:624-882,
 StridedSparsityConfig): sparsity is declared at *block* granularity — each
 query block attends its own (causally masked) diagonal block plus every
 ``block_stride``-th earlier block in full.  Round 2 emulated the pattern
-with a dense additive bias (nets.strided_sparsity_bias), which keeps O(T^2)
+with a dense additive bias (_reference_block_sparse below), which keeps O(T^2)
 compute; this kernel actually skips the masked-out blocks: the grid
 enumerates only the nonzero (query-block, key-block) pairs via a
 scalar-prefetched block index map, so compute and HBM traffic scale with

@@ -101,3 +101,28 @@ def test_registry_errors():
         get_decoder("NoSuchDecoder")
     assert set(ENC_CASES) <= set(ENCODERS)
     assert set(DEC_CASES) <= set(DECODERS)
+
+
+def test_txtrnn_truly_bidirectional_and_mask_aware():
+    """Regression: the backward GRU summary must depend on the FIRST token
+    (full right-to-left pass, not one step on the last token), and padded
+    steps must not affect the encoding."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_vae_comparison_tpu.models.encoders import Enc_TxtRNN
+
+    enc = Enc_TxtRNN(latent_dim=4, data_dim=(6, 5), hidden_size=16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 6, 5)).astype(np.float32))
+    mask = jnp.array([[True] * 6, [True] * 3 + [False] * 3])
+    params = enc.init(jax.random.PRNGKey(0), x, mask)
+    mu, _ = enc.apply(params, x, mask)
+    # first-token perturbation must change the encoding (bidirectionality)
+    x_first = x.at[:, 0].add(1.0)
+    mu2, _ = enc.apply(params, x_first, mask)
+    assert np.abs(np.asarray(mu2) - np.asarray(mu)).max() > 1e-6
+    # padding perturbation must NOT change row 1's encoding
+    x_pad = x.at[1, 5].add(1.0)
+    mu3, _ = enc.apply(params, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(mu3[1]), np.asarray(mu[1]),
+                               atol=1e-6)

@@ -126,3 +126,77 @@ def test_category_ce_token_grid_with_seq_mask():
     part = category_ce(_dist(jnp.zeros((B, T, A, K))), target, mask=mask)
     np.testing.assert_allclose(np.asarray(part),
                                2 * A * np.log(1.0 / K), rtol=1e-5)
+
+
+def _tiny_model(mixing_cls, n_latents=4, K=1, obj="elbo", llik=1.0):
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+    sp = (
+        ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                     feature_dims=(8,), mod_type="a", recon_loss="mse",
+                     llik_scaling=llik),
+        ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                     feature_dims=(6,), mod_type="b", recon_loss="mse"),
+    )
+    model = mixing_cls(specs=sp, n_latents=n_latents, obj=obj, K=K, beta=1.0)
+    batch = {
+        "mod_1": {"data": jnp.ones((5, 8)) * 0.3, "masks": None},
+        "mod_2": {"data": jnp.ones((5, 6)) * 0.7, "masks": None},
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, batch, method=model.objective)
+    return model, params, batch
+
+
+def _loss_metrics(model, params, batch, seed=2):
+    return model.apply(params, batch, rngs={"sample": jax.random.PRNGKey(seed)},
+                       method=model.objective)
+
+
+def test_elbo_k_invariant_scale():
+    """Regression: with obj='elbo' and K>1 the reconstruction terms must be
+    AVERAGED over the K sample axis — summing rescaled the loss ~K-fold and
+    shrank the effective beta by K."""
+    from multimodal_vae_comparison_tpu.models.mmvae import (
+        DMVAE, MOE, MoPOE, POE)
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+
+    for cls in (MOE, POE, MoPOE):
+        m1, p1, batch = _tiny_model(cls, K=1)
+        m8, _, _ = _tiny_model(cls, K=8)
+        l1, _ = _loss_metrics(m1, p1, batch)
+        l8, _ = _loss_metrics(m8, p1, batch)   # same params, more samples
+        ratio = abs(float(l8)) / max(abs(float(l1)), 1e-9)
+        assert 0.5 < ratio < 2.0, (cls.__name__, float(l1), float(l8))
+
+    # DMVAE needs private latents
+    sp = tuple(
+        ModalitySpec(name=f"mod_{i+1}", encoder="FNN", decoder="FNN",
+                     feature_dims=(8,), mod_type="x", recon_loss="mse",
+                     private_latents=2) for i in range(2))
+    batch = {"mod_1": {"data": jnp.ones((5, 8)) * 0.3, "masks": None},
+             "mod_2": {"data": jnp.ones((5, 8)) * 0.7, "masks": None}}
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    m1 = DMVAE(specs=sp, n_latents=4, obj="elbo", K=1, beta=1.0)
+    p1 = m1.init(rngs, batch, method=m1.objective)
+    m8 = DMVAE(specs=sp, n_latents=4, obj="elbo", K=8, beta=1.0)
+    l1, _ = _loss_metrics(m1, p1, batch)
+    l8, _ = _loss_metrics(m8, p1, batch)
+    ratio = abs(float(l8)) / max(abs(float(l1)), 1e-9)
+    assert 0.5 < ratio < 2.0, ("DMVAE", float(l1), float(l8))
+
+
+def test_reconstruction_metric_llik_invariant_across_models():
+    """Regression: MOE logged reconstruction_loss_* with llik_scaling baked
+    in while POE/MoPoE/DMVAE divided it out — the logged metric must be
+    invariant to llik_scaling for every mixer."""
+    from multimodal_vae_comparison_tpu.models.mmvae import MOE, MoPOE, POE
+
+    for cls in (MOE, POE, MoPOE):
+        m_a, p_a, batch = _tiny_model(cls, llik=1.0)
+        m_b, _, _ = _tiny_model(cls, llik=100.0)
+        _, met_a = _loss_metrics(m_a, p_a, batch)
+        _, met_b = _loss_metrics(m_b, p_a, batch)  # identical params
+        np.testing.assert_allclose(
+            float(met_a["reconstruction_loss_mod_1"]),
+            float(met_b["reconstruction_loss_mod_1"]), rtol=1e-5,
+            err_msg=cls.__name__)

@@ -95,9 +95,36 @@ def test_flash_attention_no_mask():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_sample_boxmuller_bits_contract():
+    """CPU contract test of the kernel's bits->normal math with REAL signed
+    bit patterns: pltpu.prng_random_bits returns signed int32 on TPU, and a
+    missing uint32 bitcast turns half the lanes into NaN (regression —
+    interpret mode cannot execute prng_seed, so this math path is the only
+    part of the kernel testable off-TPU)."""
+    from multimodal_vae_comparison_tpu.ops.pallas.sample_kernel import (
+        _boxmuller_from_bits)
+    rng = np.random.default_rng(0)
+    # raw int32 bits, sign bit set for ~half — the TPU PRNG's actual output
+    signed = rng.integers(-2**31, 2**31, size=(64, 128), dtype=np.int64)
+    signed = signed.astype(np.int32)
+    assert (signed < 0).mean() > 0.3
+    bits_a = jnp.asarray(signed.view(np.uint32))
+    bits_b = jnp.asarray(
+        rng.integers(0, 2**32, size=(64, 128), dtype=np.uint64)
+        .astype(np.uint32))
+    eps = np.asarray(_boxmuller_from_bits(bits_a, bits_b))
+    assert np.isfinite(eps).all()
+    assert abs(eps.mean()) < 0.05 and abs(eps.std() - 1.0) < 0.05
+    # the bug being regressed: an arithmetic shift on the signed view makes
+    # u1 negative -> log NaN
+    u1_signed = (signed >> 8).astype(np.float32) * (1.0 / (1 << 24)) + 1e-7
+    assert (u1_signed < 0).any()
+
+
 def test_sample_kernel_statistics_and_grads(monkeypatch):
-    from multimodal_vae_comparison_tpu.ops.pallas import sample_kernel
+    from multimodal_vae_comparison_tpu.ops.pallas import sample_kernel, telemetry
     monkeypatch.setattr(sample_kernel, "_INTERPRET", True)
+    telemetry.reset()
     mu = jnp.full((64, 128), 2.0)
     scale = jnp.full((64, 128), 0.5)
     z = sample_kernel.sample_normal_fused(mu, scale, jnp.asarray(7, jnp.int32))
@@ -112,6 +139,11 @@ def test_sample_kernel_statistics_and_grads(monkeypatch):
     np.testing.assert_allclose(np.asarray(g_mu), 1.0)
     eps = (np.asarray(z) - 2.0) / 0.5
     np.testing.assert_allclose(np.asarray(g_scale), eps, rtol=1e-4, atol=1e-5)
+    # honesty check: on CPU this exercises the jnp fallback (prng_seed has
+    # no CPU lowering even in interpret mode) — the kernel's own math is
+    # covered by test_sample_boxmuller_bits_contract above
+    paths = telemetry.summary()
+    assert any(k.startswith("sample:") for k in paths), paths
 
 
 def test_block_sparse_attention_matches_reference(monkeypatch):
