@@ -100,7 +100,13 @@ class Config:
         self.params = self._load(source)
         if overrides:
             for name, value in overrides.items():
-                if value is not None and name != "cfg" and name in self.params:
+                # a known key absent from the YAML must still be overridable
+                # (e.g. --K 10 on a config without a K: line) — restricting
+                # to present keys silently trained with the default instead
+                if value is not None and name != "cfg" and (
+                        name in self.params or name in _TOP_DEFAULTS
+                        or name in ("batch_size", "epochs", "lr",
+                                    "n_latents")):
                     self.params[name] = value
         self._define_params()
         self.mPath: Optional[str] = None

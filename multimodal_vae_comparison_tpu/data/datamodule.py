@@ -54,6 +54,13 @@ class DataModule:
             data, masks = dataset.get_data("train")
             if shuffle is None:
                 shuffle = rng.permutation(len(data))
+            elif len(data) != len(shuffle):
+                # silently truncating a longer modality would train on
+                # misaligned pairs; this is always a data-file mismatch
+                raise ValueError(
+                    f"modality files disagree on sample count: "
+                    f"{mod.name} has {len(data)} rows, "
+                    f"{self.config.mods[0].name} has {len(shuffle)}")
             data = data[shuffle]
             masks = masks[shuffle] if masks is not None else None
             n_train = int(len(data) * (1 - self.val_split))
@@ -153,10 +160,12 @@ class DataModule:
             yield self._make_batch(data, order[b * bs:(b + 1) * bs])
         rem = n - n_full * bs
         if rem and not drop_remainder:
-            # pad the tail to keep shapes static (padded rows repeat data)
-            idx = np.concatenate([order[n_full * bs:],
-                                  order[: bs - rem]])
-            yield self._make_batch(data, idx)
+            # pad the tail to keep shapes static (padded rows repeat data);
+            # tile when the whole split is smaller than one pad's worth
+            reps = int(np.ceil((bs - rem) / n))
+            pad = np.tile(order, reps)[: bs - rem]
+            yield self._make_batch(data, np.concatenate(
+                [order[n_full * bs:], pad]))
 
     def steps_per_epoch(self, split: str = "train") -> int:
         self.setup()

@@ -43,7 +43,12 @@ def load_data(path: str):
             return pickle.load(f)
     if suffix == ".h5":
         import h5py
-        return h5py.File(path, "r")
+        # materialize into memory and CLOSE the file: returning the open
+        # File leaked a handle per get_data_raw()/labels() call (iterseeds
+        # rebuilds the DataModule per seed), and these datasets are staged
+        # fully in HBM anyway
+        with h5py.File(path, "r") as f:
+            return {k: np.asarray(f[k]) for k in f.keys()}
     if suffix == ".npy":
         return np.load(path)
     raise ValueError(f"Unrecognized dataset format: {path}")
@@ -553,13 +558,22 @@ class VILANRO(BaseDataset):
         data = self.get_data_raw()
         self.lang_labels = list(data)
         seqs = [[self.vocab.index(w) for w in str(x).split(" ") if w] for x in data]
-        max_len = max(len(s) for s in seqs)
+        # the sequence length is FIT ON TRAIN and frozen: the encoder's
+        # shapes come from the train arrays, so a test split with a longer
+        # (or shorter) max sentence must be truncated/padded to match,
+        # not re-measured
+        if (getattr(self, "_lang_max_len", None) is None
+                or self.current_path == self.path):
+            self._lang_max_len = max(len(s) for s in seqs)
+        max_len = self._lang_max_len
         self.feature_dims["language"][0] = max_len
         idx = np.zeros((len(seqs), max_len), dtype=np.int64)
         for i, s in enumerate(seqs):
+            s = s[:max_len]
             idx[i, :len(s)] = s
         onehot = np.eye(len(self.vocab), dtype=np.float32)[idx]
-        masks = text_utils.lengths_to_mask([len(s) for s in seqs], max_len)
+        masks = text_utils.lengths_to_mask(
+            [min(len(s), max_len) for s in seqs], max_len)
         return onehot, masks
 
     def _load_actions(self):
@@ -608,12 +622,20 @@ class VILANRO(BaseDataset):
         cont, masks = self._load_actions()               # (N, T, A), (N, T)
         K = self.ACTION_BINS
         A = cont.shape[-1]
-        valid = cont[masks]                              # (M, A) real steps
-        qs = np.linspace(0.0, 1.0, K + 1)
-        edges = np.quantile(valid, qs, axis=0)           # (K+1, A)
-        # centers for de-tokenization; interior edges for digitize
-        self.action_bin_centers = (0.5 * (edges[:-1] + edges[1:])
-                                   ).astype(np.float32)  # (K, A)
+        # the codebook is FIT ON TRAIN and frozen: re-fitting on a
+        # configured test_datapath would quantize test targets (and decode
+        # model tokens, vilanro_test.py) against a different codebook than
+        # the one the model was trained on
+        if (getattr(self, "_action_edges", None) is None
+                or self.current_path == self.path):
+            valid = cont[masks]                          # (M, A) real steps
+            qs = np.linspace(0.0, 1.0, K + 1)
+            self._action_edges = np.quantile(valid, qs, axis=0)  # (K+1, A)
+            # centers for de-tokenization; interior edges for digitize
+            self.action_bin_centers = (
+                0.5 * (self._action_edges[:-1] + self._action_edges[1:])
+            ).astype(np.float32)                         # (K, A)
+        edges = self._action_edges
         idx = np.stack([np.digitize(cont[..., a], edges[1:-1, a])
                         for a in range(A)], axis=-1)     # (N, T, A) in [0,K)
         self.feature_dims["action_tokens"] = [cont.shape[1], A, K]

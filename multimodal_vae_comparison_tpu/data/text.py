@@ -14,7 +14,10 @@ from multimodal_vae_comparison_tpu.constants import ALPHABET
 
 
 def char2index(ch: str) -> int:
-    return ALPHABET.find(ch)
+    # lowercase first: the native kernel (mmvae_io.cpp one_hot_text) applies
+    # tolower, and the two paths must produce identical tensors regardless
+    # of whether the C toolchain built the .so
+    return ALPHABET.find(ch.lower())
 
 
 def one_hot_encode(seq_len: int, text: str) -> np.ndarray:

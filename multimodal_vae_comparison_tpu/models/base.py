@@ -186,6 +186,14 @@ class MMVAE(nn.Module):
         K folds into the batch axis for the decoder (keeps decoder shapes 2D
         at the interface and the matmuls large for the MXU) and unfolds after.
         """
+        expected = self.n_latents + (self.spec(name).private_latents or 0)
+        if z.shape[-1] < expected:
+            # shared-only latents (prior/joint sampling, traversals, serving
+            # decode): pad the private dims with the private prior's mean so
+            # factorized (DMVAE-style) decoders accept them instead of
+            # failing on a kernel shape mismatch
+            pad = jnp.zeros(z.shape[:-1] + (expected - z.shape[-1],), z.dtype)
+            z = jnp.concatenate([z, pad], axis=-1)
         K, B = z.shape[0], z.shape[1]
         z_flat = z.reshape(K * B, z.shape[-1])
         mask_rep = None

@@ -55,8 +55,14 @@ def make_handler(engine, infer):
                     inputs[name] = entry
                 out = engine.generate(inputs, seed=int(req.get("seed", 0)))
                 self._send(200, {k: v.tolist() for k, v in out.items()})
-            except Exception as e:
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
+                # malformed request (bad json, unknown modality, shape
+                # disagreement — the engine's own input validation)
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # anything else is a server-side failure, not client error
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

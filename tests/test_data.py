@@ -160,3 +160,44 @@ def test_vilanro_action_tokens_roundtrip(tmp_path):
         assert np.median(err) < 0.02
     # padded steps decode to zero under the mask
     np.testing.assert_array_equal(decoded[~np.asarray(masks)], 0.0)
+
+
+def test_config_cli_override_for_absent_yaml_key(tmp_path):
+    """Regression: --K 10 on a config whose YAML has no K: line must apply
+    (it silently trained with K=1 before)."""
+    import yaml
+    from multimodal_vae_comparison_tpu.config import Config
+    cfg_yaml = {
+        "batch_size": 4, "epochs": 1, "exp_name": "t", "lr": 1e-3,
+        "mixing": "moe", "n_latents": 4, "dataset_name": "synthetic",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "image", "path": "16"},
+    }
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = Config(str(p), overrides={"K": 10, "beta": 2.5, "profile": "x"},
+                 eval_only=True)
+    assert cfg.K == 10 and cfg.beta == 2.5
+    assert not hasattr(cfg, "profile")   # non-config CLI flags stay out
+
+
+def test_batches_pad_when_split_smaller_than_batch(tmp_path):
+    """Regression: a split smaller than one pad's worth must still yield a
+    full static-shape batch (padding tiles the split)."""
+    import yaml
+    from multimodal_vae_comparison_tpu.config import Config
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "t", "lr": 1e-3,
+        "mixing": "moe", "n_latents": 4, "dataset_name": "synthetic",
+        "labels": None, "test_split": 0.25, "seed": 1,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "image", "path": "12"},
+    }, results_root=str(tmp_path))
+    dm = DataModule(cfg)
+    dm.setup()
+    # val split has 3 samples < batch_size 8
+    batches = list(dm.batches("val", batch_size=8, drop_remainder=False))
+    assert len(batches) == 1
+    assert batches[0]["mod_1"]["data"].shape[0] == 8

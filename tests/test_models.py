@@ -238,3 +238,24 @@ def test_action_token_modality_trains():
     dec = np.asarray(out.mods["mod_2"].decoder_dist.mean)
     assert dec.shape[-2:] == (A, K)
     assert dec.argmax(-1).max() < K
+
+
+def test_decode_mod_pads_private_latents():
+    """Regression: prior/joint sampling and serving decode hand decode_mod
+    shared-only latents; factorized (DMVAE-style) decoders expect
+    n_latents + private_latents inputs and must not shape-error."""
+    from multimodal_vae_comparison_tpu.models.mmvae import DMVAE
+
+    sp = tuple(
+        ModalitySpec(name=f"mod_{i+1}", encoder="FNN", decoder="FNN",
+                     feature_dims=(8,), mod_type="x", recon_loss="mse",
+                     private_latents=3) for i in range(2))
+    model = DMVAE(specs=sp, n_latents=N_LATENTS, obj="elbo", K=1, beta=1.0)
+    bt = {f"mod_{i+1}": {"data": jnp.ones((4, 8)) * 0.4, "masks": None}
+          for i in range(2)}
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    params = model.init(rngs, bt, method=model.objective)
+    z_shared = jnp.zeros((1, 4, N_LATENTS))     # (K, B, shared only)
+    dist = model.apply(params, "mod_1", z_shared,
+                       method=lambda m, nm, zz: m.decode_mod(nm, zz))
+    assert dist.mean.shape == (1, 4, 8)
