@@ -157,6 +157,20 @@ def test_http_error_paths(engine):
             urllib.request.urlopen(urllib.request.Request(
                 f"http://127.0.0.1:{port}/generate", data=b"{}"))
         assert e.value.code == 400
+        # server-side failure -> 500, not 400 (retry logic keys on 4xx/5xx)
+        boom = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        orig = eng.generate
+        eng.generate = boom
+        try:
+            req = {"inputs": {"mod_1": {"data": [[0.0] * 5]}}}
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate",
+                    data=json.dumps(req).encode()))
+            assert e.value.code == 500
+            assert "boom" in json.load(e.value)["error"]
+        finally:
+            eng.generate = orig
     finally:
         srv.shutdown()
 
