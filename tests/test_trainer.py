@@ -196,3 +196,23 @@ def test_csv_logger_appends_on_resume(tmp_path):
     rows = open(path).read().strip().splitlines()
     assert rows[0] == "step,train_loss"
     assert len(rows) == 4  # header + 3 data rows, nothing truncated
+
+
+def test_reset_for_seed_repoints_loggers(tmp_path):
+    """iterseeds path: reset_for_seed must re-point BOTH the CSV logger and
+    the TensorBoard writer at the new version dir (seeds 2..N wrote TB
+    events into seed 1's tb dir before)."""
+    cfg = synthetic_cfg(tmp_path)
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1)
+    first_tb = os.path.join(cfg.mPath, "tb")
+    new_dir = os.path.join(os.path.dirname(cfg.mPath), "version_s2")
+    os.makedirs(new_dir, exist_ok=True)
+    trainer.reset_for_seed(2, mPath=new_dir)
+    trainer.fit(epochs=1)
+    assert os.path.isfile(os.path.join(new_dir, "metrics.csv"))
+    if trainer._tb is not None:  # tensorboardX installed
+        tb2 = os.path.join(new_dir, "tb")
+        assert os.path.isdir(tb2) and os.listdir(tb2)
+        # seed-1 tb events stop growing: new events land in the new dir
+        assert os.path.isdir(first_tb)
