@@ -107,3 +107,68 @@ def test_sif_embeddings_min_occur():
     emb = SIFEmbeddings(min_occur=2).fit(sents)   # 'cube'/'rare' filtered
     assert set(emb.vocab) == {"red", "ball"}
     assert sorted(emb.vocab.values()) == [0, 1]   # ids contiguous
+
+
+def test_celeba_eval_end_to_end(tmp_path):
+    """Judged CelebA eval on a tiny 1-epoch model: 4-head judge trains on
+    the train split; all stats are fractions with a calibration entry."""
+    rng = np.random.default_rng(3)
+    img_path = os.path.join(str(tmp_path), "imgs.npy")
+    att_path = os.path.join(str(tmp_path), "atts.npy")
+    np.save(img_path, rng.integers(0, 255, (40, 64, 64, 3), dtype=np.uint8))
+    np.save(att_path, rng.choice([-1.0, 1.0], (40, 4)))
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "cel", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "celeba",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": img_path, "recon_loss": "bce"},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN", "mod_type": "atts",
+                       "path": att_path, "recon_loss": "category_ce"},
+    }, results_root=str(tmp_path))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    os.environ["CELEBA_CLASSIFIER_DIR"] = str(tmp_path / "clf")
+    try:
+        from multimodal_vae_comparison_tpu.eval.eval_celeba import celeba_eval
+        stats = celeba_eval(trainer)
+    finally:
+        del os.environ["CELEBA_CLASSIFIER_DIR"]
+    assert "judge_accuracy_real" in stats
+    for k, v in stats.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+
+
+def test_mnistsvhn_eval_end_to_end(tmp_path):
+    """Judged MNIST-SVHN eval through the real pairing files (surrogate
+    builder) with the shared train-split digit judges."""
+    import pytest
+    pytest.importorskip("sklearn")
+    from multimodal_vae_comparison_tpu.data_proc import mnistsvhn
+    d = mnistsvhn.build_surrogate(str(tmp_path / "ms"), pairs_train=2,
+                                  pairs_test=1, seed=0)
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "ms", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "mnist_svhn",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "mnist",
+                       "path": os.path.join(d, "mnist_idx_train.npy"),
+                       "test_datapath": os.path.join(d, "mnist_idx_test.npy"),
+                       "recon_loss": "bce"},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN", "mod_type": "svhn",
+                       "path": os.path.join(d, "svhn_idx_train.npy"),
+                       "test_datapath": os.path.join(d, "svhn_idx_test.npy"),
+                       "recon_loss": "bce"},
+    }, results_root=str(tmp_path))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    os.environ["MNISTSVHN_CLASSIFIER_DIR"] = str(tmp_path / "clf")
+    try:
+        from multimodal_vae_comparison_tpu.eval.eval_mnistsvhn import (
+            mnistsvhn_eval)
+        stats = mnistsvhn_eval(trainer)
+    finally:
+        del os.environ["MNISTSVHN_CLASSIFIER_DIR"]
+    assert any(k.endswith("judge_accuracy_real") for k in stats)
+    for k, v in stats.items():
+        assert 0.0 <= v <= 1.0, (k, v)
