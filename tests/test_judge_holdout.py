@@ -172,3 +172,72 @@ def test_mnistsvhn_eval_end_to_end(tmp_path):
     assert any(k.endswith("judge_accuracy_real") for k in stats)
     for k, v in stats.items():
         assert 0.0 <= v <= 1.0, (k, v)
+
+
+def test_polymnist_eval_end_to_end(tmp_path):
+    """Judged PolyMNIST eval (5 modalities) with train-split digit judges."""
+    import pytest
+    pytest.importorskip("sklearn")
+    from multimodal_vae_comparison_tpu.data_proc.polymnist import (
+        build_surrogate)
+    d = build_surrogate(str(tmp_path / "pm"), samples_train=40,
+                        samples_test=16, seed=0)
+    mods = {}
+    for m in range(5):
+        mods[f"modality_{m+1}"] = {
+            "encoder": "FNN", "decoder": "FNN", "mod_type": f"m{m}",
+            "path": os.path.join(d, f"m{m}.npy"),
+            "test_datapath": os.path.join(d, f"test_m{m}.npy"),
+            "recon_loss": "bce"}
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "pm", "lr": 1e-3,
+        "mixing": "moe", "n_latents": 4, "dataset_name": "polymnist",
+        "labels": None, "test_split": 0.25, **mods,
+    }, results_root=str(tmp_path))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    os.environ["POLYMNIST_CLASSIFIER_DIR"] = str(tmp_path / "clf")
+    try:
+        from multimodal_vae_comparison_tpu.eval.eval_polymnist import (
+            polymnist_eval)
+        stats = polymnist_eval(trainer)
+    finally:
+        del os.environ["POLYMNIST_CLASSIFIER_DIR"]
+    assert "judge_accuracy_real_mean" in stats
+    for k, v in stats.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+
+
+def test_cub_eval_end_to_end(tmp_path):
+    """Judged CUB eval: color judge trains on parseable train-split captions
+    only; unparseable captions drop out of the metric denominators."""
+    import pickle
+    rng = np.random.default_rng(4)
+    img_path = os.path.join(str(tmp_path), "imgs.npy")
+    cap_path = os.path.join(str(tmp_path), "caps.pkl")
+    np.save(img_path, rng.integers(0, 255, (40, 64, 64, 3), dtype=np.uint8))
+    colors = ["blue", "red", "yellow", "brown", "grey", "white"]
+    caps = [f"a small {colors[i % 6]} bird with a yellow belly"
+            for i in range(38)] + ["this bird has feathers"] * 2
+    with open(cap_path, "wb") as f:
+        pickle.dump(caps, f)
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "cub", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "cub",
+        "labels": None, "test_split": 0.25,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN", "mod_type": "image",
+                       "path": img_path, "recon_loss": "bce"},
+        "modality_2": {"encoder": "TxtTransformer", "decoder": "TxtTransformer",
+                       "mod_type": "text", "path": cap_path,
+                       "recon_loss": "category_ce"},
+    }, results_root=str(tmp_path))
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=1, log_fn=None)
+    os.environ["CUB_CLASSIFIER_DIR"] = str(tmp_path / "clf")
+    try:
+        from multimodal_vae_comparison_tpu.eval.eval_cub import cub_eval
+        stats = cub_eval(trainer)
+    finally:
+        del os.environ["CUB_CLASSIFIER_DIR"]
+    assert "judge_accuracy_real" in stats
+    assert 0.0 <= stats["text_to_image_color"] <= 1.0
