@@ -30,6 +30,9 @@ _MOD_DEFAULTS = {
     "test_datapath": None,
 }
 
+# required in every YAML; also CLI-overridable even when absent from it
+_REQUIRED_KEYS = ("batch_size", "epochs", "lr", "n_latents")
+
 _TOP_DEFAULTS = {
     "K": 1,
     "beta": 1.0,
@@ -105,8 +108,7 @@ class Config:
                 # to present keys silently trained with the default instead
                 if value is not None and name != "cfg" and (
                         name in self.params or name in _TOP_DEFAULTS
-                        or name in ("batch_size", "epochs", "lr",
-                                    "n_latents")):
+                        or name in _REQUIRED_KEYS):
                     self.params[name] = value
         self._define_params()
         self.mPath: Optional[str] = None
@@ -135,7 +137,7 @@ class Config:
             if not key.startswith("modality_"):
                 setattr(self, key, value)
         # required keys
-        for key in ("batch_size", "epochs", "lr", "n_latents"):
+        for key in _REQUIRED_KEYS:
             if key not in self.params:
                 raise ValueError(f"config is missing required key '{key}'")
             setattr(self, key, self.params[key])

@@ -29,6 +29,9 @@ from multimodal_vae_comparison_tpu.data import text as text_utils
 # generic loaders (reference utils.py:216-237)
 # ---------------------------------------------------------------------------
 
+_H5_CACHE: Dict[tuple, dict] = {}
+
+
 def load_data(path: str):
     """Load raw data by suffix: .h5/.pkl/.pt/.pth/.npy or an image dir."""
     assert os.path.exists(path), f"Path does not exist: {path}"
@@ -43,12 +46,18 @@ def load_data(path: str):
             return pickle.load(f)
     if suffix == ".h5":
         import h5py
-        # materialize into memory and CLOSE the file: returning the open
-        # File leaked a handle per get_data_raw()/labels() call (iterseeds
-        # rebuilds the DataModule per seed), and these datasets are staged
-        # fully in HBM anyway
-        with h5py.File(path, "r") as f:
-            return {k: np.asarray(f[k]) for k in f.keys()}
+        # materialize into memory and CLOSE the file (returning the open
+        # File leaked a handle per get_data_raw()/labels() call), cached per
+        # (path, mtime) — image/text/labels of one modality and the sibling
+        # modality instances all read the same file, and re-reading a
+        # GB-scale h5 several times per setup dwarfs the one-copy cost
+        key = (os.path.realpath(path), os.path.getmtime(path))
+        if key not in _H5_CACHE:
+            if len(_H5_CACHE) >= 4:   # bound resident copies
+                _H5_CACHE.clear()
+            with h5py.File(path, "r") as f:
+                _H5_CACHE[key] = {k: np.asarray(f[k]) for k in f.keys()}
+        return _H5_CACHE[key]
     if suffix == ".npy":
         return np.load(path)
     raise ValueError(f"Unrecognized dataset format: {path}")
@@ -561,10 +570,14 @@ class VILANRO(BaseDataset):
         # the sequence length is FIT ON TRAIN and frozen: the encoder's
         # shapes come from the train arrays, so a test split with a longer
         # (or shorter) max sentence must be truncated/padded to match,
-        # not re-measured
-        if (getattr(self, "_lang_max_len", None) is None
-                or self.current_path == self.path):
+        # not re-measured.  If the FIRST load is the test split, measure the
+        # train file explicitly rather than freezing a test-derived value.
+        if self.current_path == self.path:
             self._lang_max_len = max(len(s) for s in seqs)
+        elif getattr(self, "_lang_max_len", None) is None:
+            train_raw = load_data(self.path)
+            self._lang_max_len = max(
+                len([w for w in str(x).split(" ") if w]) for x in train_raw)
         max_len = self._lang_max_len
         self.feature_dims["language"][0] = max_len
         idx = np.zeros((len(seqs), max_len), dtype=np.int64)
@@ -603,6 +616,15 @@ class VILANRO(BaseDataset):
         vilanro_test.py)."""
         return self._load_actions()
 
+    def _fit_action_codebook(self, cont, masks, K):
+        valid = cont[masks]                              # (M, A) real steps
+        qs = np.linspace(0.0, 1.0, K + 1)
+        self._action_edges = np.quantile(valid, qs, axis=0)     # (K+1, A)
+        # centers for de-tokenization; interior edges for digitize
+        self.action_bin_centers = (
+            0.5 * (self._action_edges[:-1] + self._action_edges[1:])
+        ).astype(np.float32)                             # (K, A)
+
     def _load_action_tokens(self):
         """Discretized action tokens: each continuous action dimension is
         binned into ``ACTION_BINS`` per-dimension empirical-quantile bins and
@@ -625,16 +647,18 @@ class VILANRO(BaseDataset):
         # the codebook is FIT ON TRAIN and frozen: re-fitting on a
         # configured test_datapath would quantize test targets (and decode
         # model tokens, vilanro_test.py) against a different codebook than
-        # the one the model was trained on
-        if (getattr(self, "_action_edges", None) is None
-                or self.current_path == self.path):
-            valid = cont[masks]                          # (M, A) real steps
-            qs = np.linspace(0.0, 1.0, K + 1)
-            self._action_edges = np.quantile(valid, qs, axis=0)  # (K+1, A)
-            # centers for de-tokenization; interior edges for digitize
-            self.action_bin_centers = (
-                0.5 * (self._action_edges[:-1] + self._action_edges[1:])
-            ).astype(np.float32)                         # (K, A)
+        # the one the model was trained on.  If the FIRST load is the test
+        # split, fit from the train file explicitly.
+        if self.current_path == self.path:
+            self._fit_action_codebook(cont, masks, K)
+        elif getattr(self, "_action_edges", None) is None:
+            saved = self.current_path
+            self.current_path = self.path
+            try:
+                train_cont, train_masks = self._load_actions()
+            finally:
+                self.current_path = saved
+            self._fit_action_codebook(train_cont, train_masks, K)
         edges = self._action_edges
         idx = np.stack([np.digitize(cont[..., a], edges[1:-1, a])
                         for a in range(A)], axis=-1)     # (N, T, A) in [0,K)

@@ -127,17 +127,22 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
             print(f"step {step + 1}/{horizon}: "
                   f"{int(done.sum())}/{trials} trials finished")
     successes = sum(int(env.is_success()) for env in envs)
-    # endpoint-error diagnostic: a bare success rate hides whether misses
-    # are near (tolerance-limited) or far (wrong target / drift) — the
-    # round-2/3 action-representation work keys on exactly this
-    dists = np.array([env._goal_distance() for env in envs])
-    return {"success_rate": successes / trials, "trials": trials,
-            "replan_every": replan_every,
+    out = {"success_rate": successes / trials, "trials": trials,
+           "replan_every": replan_every}
+    # endpoint-error diagnostic (REACH only — for push/lift the EE-goal
+    # distance is not the success criterion): a bare success rate hides
+    # whether misses are near (tolerance-limited) or far (wrong target /
+    # compounding drift) — the action-representation work keys on this
+    if getattr(envs[0], "task", None) == "reach":
+        from multimodal_vae_comparison_tpu.lanro.env import REACH_TOLERANCE
+        dists = np.array([env._goal_distance() for env in envs])
+        out.update({
             "goal_dist_mean": float(dists.mean()),
             "goal_dist_median": float(np.median(dists)),
             "goal_dist_p25": float(np.percentile(dists, 25)),
             "within_2x_tolerance": float(
-                (dists < 0.10).mean())}
+                (dists < 2 * REACH_TOLERANCE).mean())})
+    return out
 
 
 def main():

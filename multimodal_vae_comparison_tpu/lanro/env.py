@@ -25,6 +25,10 @@ from multimodal_vae_comparison_tpu.lanro.arm import NUM_DOF
 from multimodal_vae_comparison_tpu.lanro.simulation import (
     COLOR_MAP, KinematicSimulation, SHAPE_IDS)
 
+# reach-success radius (m); vilanro_test's endpoint diagnostic derives its
+# "within 2x tolerance" bucket from this
+REACH_TOLERANCE = 0.05
+
 INSTRUCTION_TEMPLATES = {
     "reach": ["reach the {color} {shape}", "touch the {color} {shape}"],
     "push": ["push the {color} {shape}", "move the {color} {shape}"],
@@ -168,7 +172,8 @@ class LanroEnv:
     def is_success(self) -> bool:
         goal = self.sim.objects[self.goal_idx]
         if self.task == "reach":
-            return bool(np.linalg.norm(self.sim.ee - goal.pos) < 0.05)
+            return bool(np.linalg.norm(self.sim.ee - goal.pos)
+                        < REACH_TOLERANCE)
         if self.task == "push":
             moved = np.linalg.norm(goal.pos[:2] - self._initial_pos[:2])
             return bool(moved > 0.08)

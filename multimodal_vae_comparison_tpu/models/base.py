@@ -187,11 +187,17 @@ class MMVAE(nn.Module):
         at the interface and the matmuls large for the MXU) and unfolds after.
         """
         expected = self.n_latents + (self.spec(name).private_latents or 0)
-        if z.shape[-1] < expected:
+        if z.shape[-1] != expected:
             # shared-only latents (prior/joint sampling, traversals, serving
             # decode): pad the private dims with the private prior's mean so
-            # factorized (DMVAE-style) decoders accept them instead of
-            # failing on a kernel shape mismatch
+            # factorized (DMVAE-style) decoders accept them.  Anything other
+            # than exactly-shared width is a caller bug — fail loudly rather
+            # than zero-padding to plausible-looking garbage.
+            if z.shape[-1] != self.n_latents:
+                raise ValueError(
+                    f"decode_mod('{name}') got latents of width "
+                    f"{z.shape[-1]}; expected {expected} "
+                    f"(or {self.n_latents} shared-only)")
             pad = jnp.zeros(z.shape[:-1] + (expected - z.shape[-1],), z.dtype)
             z = jnp.concatenate([z, pad], axis=-1)
         K, B = z.shape[0], z.shape[1]
