@@ -142,6 +142,21 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
             "goal_dist_p25": float(np.percentile(dists, 25)),
             "within_2x_tolerance": float(
                 (dists < 2 * REACH_TOLERANCE).mean())})
+        # grounding vs precision: which object did the EE end nearest?
+        # A high distractor rate means the instruction isn't steering the
+        # generated trajectory (fusion/grounding failure); a low one with
+        # large goal_dist means endpoint regression error instead.
+        if len(envs[0].sim.objects) > 1:
+            obj_d = np.array([[np.linalg.norm(env.sim.ee - o.pos)
+                               for o in env.sim.objects] for env in envs])
+            goal_ids = np.array([env.goal_idx for env in envs])
+            out["nearest_is_distractor"] = float(
+                (obj_d.argmin(axis=1) != goal_ids).mean())
+            distractor_d = np.array([
+                np.delete(obj_d[b], goal_ids[b]).min()
+                for b in range(len(envs))])
+            out["distractor_within_tolerance"] = float(
+                (distractor_d < REACH_TOLERANCE).mean())
     return out
 
 
