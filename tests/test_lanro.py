@@ -403,6 +403,11 @@ def test_waypoint_model_end_to_end_eval(tmp_path):
                      log_every=0)
     assert res["trials"] == 2
     assert 0.0 <= res["success_rate"] <= 1.0
+    # reach diagnostics: endpoint-error stats plus the grounding-vs-precision
+    # split (NLReach2 has 2 objects, so the distractor keys must be present)
+    assert 0.0 <= res["within_2x_tolerance"] <= 1.0
+    assert 0.0 <= res["nearest_is_distractor"] <= 1.0
+    assert 0.0 <= res["distractor_within_tolerance"] <= 1.0
 
 
 def test_vilanro_dataset_loads_waypoints(tmp_path):
