@@ -59,12 +59,27 @@ def _push_toward(env: LanroEnv, goal, target_xy: np.ndarray,
 
 def _ee_policy(env: LanroEnv) -> np.ndarray:
     """One expert EE action for any registered task."""
+    if env.task == "empty":
+        step = np.clip(env.sim.target - env.sim.ee, -0.04, 0.04)
+        return np.array([step[0], step[1], step[2], 1.0], np.float32)
     goal = env.goal_object
     delta = goal.pos - env.sim.ee
     dist = np.linalg.norm(delta)
     grip = 1.0
     if env.task == "reach":
         pass
+    elif env.task == "pickplace":
+        # grasp, carry over the target, release (the object settles at the
+        # table rest height under the release xy — simulation._post_motion)
+        if not goal.grasped:
+            grip = 1.0 if dist > 0.03 else -1.0
+        else:
+            above = np.linalg.norm(
+                env.sim.ee[:2] - env.sim.target[:2]) < 0.02
+            delta = np.array([env.sim.target[0] - env.sim.ee[0],
+                              env.sim.target[1] - env.sim.ee[1],
+                              0.08 - env.sim.ee[2]])
+            grip = 1.0 if above else -1.0
     elif env.task == "push":
         # approach slightly behind, then push through
         if dist < 0.06:

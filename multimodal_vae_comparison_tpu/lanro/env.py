@@ -41,6 +41,14 @@ INSTRUCTION_TEMPLATES = {
     "slide": ["slide the {color} {shape} to the target"],
     "stack": ["stack the {color} {shape} on the {color2} {shape2}",
               "put the {color} {shape} on the {color2} {shape2}"],
+    # objectless EE-goal task (reference tasks/empty.py: the goal is a
+    # sampled gripper target position, no scene objects)
+    "empty": ["move the gripper to the target",
+              "reach the target position"],
+    # reference registers PickAndPlace as a 1-object Stack env with a
+    # sampled goal position (lanro_gym/__init__.py:30-41)
+    "pickplace": ["put the {color} {shape} on the target",
+                  "place the {color} {shape} at the target"],
 }
 
 
@@ -81,7 +89,8 @@ class LanroEnv:
         if action_type == "relative_joints":
             use_arm = True
         self.task = task
-        self.num_objects = max(num_objects, 2 if task == "stack" else 1)
+        self.num_objects = (0 if task == "empty"
+                            else max(num_objects, 2 if task == "stack" else 1))
         self.max_steps = max_steps
         self.action_type = action_type
         self.reward_type = reward_type
@@ -103,10 +112,21 @@ class LanroEnv:
 
     def reset(self) -> Dict:
         self.sim.reset(self.num_objects)
-        self.goal_idx = int(self.rng.integers(self.num_objects))
-        goal = self.sim.objects[self.goal_idx]
         tmpl = INSTRUCTION_TEMPLATES[self.task]
         template = tmpl[self.rng.integers(len(tmpl))]
+        if self.task == "empty":
+            self.goal_idx = 0
+            # EE goal above the table (reference empty.py samples the
+            # gripper target; the EE can hover, so z may be elevated)
+            self.sim.target = np.array([self.rng.uniform(-0.2, 0.2),
+                                        self.rng.uniform(-0.2, 0.2),
+                                        self.rng.uniform(0.03, 0.15)])
+            self.instruction = template
+            self._t = 0
+            self._initial_pos = self.sim.ee.copy()
+            return self._obs()
+        self.goal_idx = int(self.rng.integers(self.num_objects))
+        goal = self.sim.objects[self.goal_idx]
         if self.task == "stack":
             others = [i for i in range(self.num_objects) if i != self.goal_idx]
             self.base_idx = int(others[self.rng.integers(len(others))])
@@ -117,8 +137,14 @@ class LanroEnv:
         else:
             self.instruction = template.format(color=goal.color,
                                                shape=goal.shape)
-        if self.task == "slide":
+        if self.task in ("slide", "pickplace"):
             self.sim.sample_target()
+            if self.task == "pickplace":
+                # placement target at rest height: released objects settle
+                # on the table (simulation._rest_height), so an achievable
+                # goal sits at the table rest z — the reference's elevated
+                # goal_z_range needs a surface to rest on we don't model
+                self.sim.target[2] = 0.02
         self._t = 0
         self._initial_pos = goal.pos.copy()
         return self._obs()
@@ -159,7 +185,11 @@ class LanroEnv:
     # -- success predicates (reference tasks/nl*.py, slide.py, stack.py) --------
 
     def _goal_distance(self) -> float:
+        if self.task == "empty":
+            return float(np.linalg.norm(self.sim.ee - self.sim.target))
         goal = self.sim.objects[self.goal_idx]
+        if self.task == "pickplace":
+            return float(np.linalg.norm(goal.pos - self.sim.target))
         if self.task == "reach":
             return float(np.linalg.norm(self.sim.ee - goal.pos))
         if self.task == "slide":
@@ -170,7 +200,13 @@ class LanroEnv:
         return float(np.linalg.norm(self.sim.ee - goal.pos))
 
     def is_success(self) -> bool:
+        if self.task == "empty":
+            return bool(np.linalg.norm(self.sim.ee - self.sim.target)
+                        < REACH_TOLERANCE)
         goal = self.sim.objects[self.goal_idx]
+        if self.task == "pickplace":
+            return bool(np.linalg.norm(goal.pos - self.sim.target) < 0.05
+                        and not goal.grasped)
         if self.task == "reach":
             return bool(np.linalg.norm(self.sim.ee - goal.pos)
                         < REACH_TOLERANCE)
@@ -264,6 +300,9 @@ ENV_REGISTRY = {
     "NLRight2-v0": _nl("right", 2), "NLRight3-v0": _nl("right", 3),
     "Slide-v0": dict(task="slide", num_objects=1),
     "Stack2-v0": _nl("stack", 2), "Stack3-v0": _nl("stack", 3),
+    "Empty-v0": dict(task="empty", num_objects=0),
+    "PickAndPlace-v0": dict(task="pickplace", num_objects=1),
+    "NLPickAndPlace2-v0": _nl("pickplace", 2),
 }
 # reference-style Panda ids (lanro_gym/__init__.py registrations) map to the
 # same tasks with the joint-space arm enabled
@@ -275,6 +314,12 @@ for _task, _name in (("reach", "Reach"), ("push", "Push"), ("lift", "Lift"),
 ENV_REGISTRY["PandaSlide-v0"] = dict(task="slide", num_objects=1,
                                      use_arm=True,
                                      action_type="relative_joints")
+ENV_REGISTRY["PandaEmpty-v0"] = dict(task="empty", num_objects=0,
+                                     use_arm=True,
+                                     action_type="relative_joints")
+ENV_REGISTRY["PandaPickAndPlace-v0"] = dict(task="pickplace", num_objects=1,
+                                            use_arm=True,
+                                            action_type="relative_joints")
 for _n in (2, 3):
     ENV_REGISTRY[f"PandaStack{_n}-v0"] = _nl(
         "stack", _n, use_arm=True, action_type="relative_joints")

@@ -23,7 +23,9 @@ def test_registry_and_reset():
 @pytest.mark.parametrize("env_id", ["NLReach2-v0", "NLPush2-v0",
                                     "NLLift2-v0", "NLGrasp2-v0",
                                     "NLLeft2-v0", "NLRight2-v0",
-                                    "Slide-v0", "Stack2-v0"])
+                                    "Slide-v0", "Stack2-v0",
+                                    "Empty-v0", "PickAndPlace-v0",
+                                    "NLPickAndPlace2-v0"])
 def test_scripted_policy_succeeds(env_id):
     env = make(env_id, seed=1)
     successes = 0
