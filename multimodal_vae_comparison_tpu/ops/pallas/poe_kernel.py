@@ -15,6 +15,7 @@ kernel, and reuses the forward's saved precisions).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +92,14 @@ def _poe_eligible(mus) -> bool:
 def _poe_impl(mus, scales, prior_precision):
     from multimodal_vae_comparison_tpu.ops.pallas import telemetry
     on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
-    if on_tpu and _poe_eligible(mus):
+    # Round-3 A/B (benchmarks/kernels_ab.py on TPU v5e): the fused-XLA path
+    # wins at every suite shape (e.g. E2xB24xD16 fwd 0.7 us vs 8.1 us
+    # pallas; E3xB4096xD24 bwd 2.1 us vs 22.3 us) — the op is too small for
+    # a kernel launch to pay off.  Default is therefore jnp; the kernel
+    # stays available for larger fusions via MMVAE_TPU_PALLAS_POE=1.
+    force_pallas = _INTERPRET or os.environ.get(
+        "MMVAE_TPU_PALLAS_POE", "0") == "1"
+    if on_tpu and force_pallas and _poe_eligible(mus):
         try:
             out = _poe_pallas(mus, scales, prior_precision)
             telemetry.record("poe", "pallas")
@@ -102,6 +110,8 @@ def _poe_impl(mus, scales, prior_precision):
     else:
         telemetry.record("poe", "jnp",
                          note=("not on TPU" if not on_tpu else
+                               "A/B default (kernels_ab r3): fused XLA wins"
+                               if not force_pallas else
                                f"block too large for VMEM: {mus.shape}"))
     return _poe_reference(mus, scales, prior_precision)
 

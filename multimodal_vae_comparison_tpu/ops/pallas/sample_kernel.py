@@ -34,9 +34,14 @@ def _boxmuller_from_bits(bits_a, bits_b):
     uint32: with signed int32 the >> is an arithmetic shift, u1 goes
     negative for ~half the lanes, and log(u1) = NaN poisons every sample.
     """
-    # uint32 -> (0, 1]: keep 24 mantissa-ish bits for a clean float
-    u1 = (bits_a >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
-    u2 = (bits_b >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # uint32 -> (0, 1]: keep 24 mantissa-ish bits for a clean float.
+    # Mosaic has no uint32->float32 cast (measured: the r3 kernel A/B run
+    # failed compiling exactly that), so go through int32 — after the >>8
+    # shift the value is < 2^24 and the bitcast is sign-bit-clean.
+    a24 = jax.lax.bitcast_convert_type(bits_a >> 8, jnp.int32)
+    b24 = jax.lax.bitcast_convert_type(bits_b >> 8, jnp.int32)
+    u1 = a24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
+    u2 = b24.astype(jnp.float32) * (1.0 / (1 << 24))
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +184,19 @@ def _sparse_forward(q, k, v, block, block_stride):
     on_tpu = _INTERPRET or jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
         telemetry.record("sparse_attention", "jnp", note="not on TPU")
+        return _reference_block_sparse(q, k, v, block, block_stride)
+    # Round-3 A/B (benchmarks/kernels_ab.py, TPU v5e): the dense-bias path
+    # wins up to T=2048 (65 us vs 98 us) — XLA's fused dense attention beats
+    # the kernel while everything fits comfortably; the Pallas kernel wins
+    # 3.5x at T=4096 (169 us vs 595 us) where skipping masked blocks pays.
+    # Crossover between 2048 and 4096; threshold at 4096, override with
+    # MMVAE_TPU_SPARSE_PALLAS=1/0.
+    force = os.environ.get("MMVAE_TPU_SPARSE_PALLAS")
+    use_pallas = (force == "1" or _INTERPRET
+                  or (force != "0" and t >= 4096))
+    if not use_pallas:
+        telemetry.record("sparse_attention", "jnp",
+                         note=f"A/B default: dense bias wins at T={t}")
         return _reference_block_sparse(q, k, v, block, block_stride)
     kv_map, n_valid = block_sparse_layout(t, block, block_stride)
     try:
