@@ -94,6 +94,42 @@ class Enc_CNN2(VaeEncoder):
         return self.head(h)
 
 
+def _append_coords(h: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate normalized x/y coordinate channels (CoordConv,
+    Liu et al. 2018) to an NHWC feature map."""
+    B, H, W = h.shape[0], h.shape[1], h.shape[2]
+    ys = jnp.linspace(-1.0, 1.0, H, dtype=h.dtype)
+    xs = jnp.linspace(-1.0, 1.0, W, dtype=h.dtype)
+    yy = jnp.broadcast_to(ys[:, None], (H, W))
+    xx = jnp.broadcast_to(xs[None, :], (H, W))
+    coords = jnp.broadcast_to(jnp.stack([yy, xx], -1)[None], (B, H, W, 2))
+    return jnp.concatenate([h, coords], axis=-1)
+
+
+class Enc_CNNCoord(VaeEncoder):
+    """Enc_CNN2 with coordinate channels appended at the input and at every
+    conv scale (CoordConv).  New TPU-side encoder, no reference counterpart:
+    the plain conv stack encodes object *positions* poorly into a small
+    latent (measured: linear probe z->position R^2 = 0.37 on VILANRO), which
+    starves position-conditioned cross-generation (image+language ->
+    waypoint actions).  Coordinate channels make position a first-class
+    input feature."""
+
+    hid_channels: int = 32
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, data, mask=None, train: bool = False):
+        h = data
+        for _ in range(4):
+            h = _append_coords(h)
+            h = nn.silu(nn.Conv(self.hid_channels, (4, 4), strides=2,
+                                padding=1, dtype=self.dtype)(h))
+        h = h.reshape(h.shape[0], -1)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
+        return self.head(h)
+
+
 class Enc_MNIST(VaeEncoder):
     """2-layer MLP MNIST encoder (reference encoders.py:226-265)."""
 
@@ -366,6 +402,7 @@ ENCODERS = {
     "CNN": Enc_CNN,
     "VIT": Enc_VIT,
     "CNN2": Enc_CNN2,
+    "CNNCoord": Enc_CNNCoord,
     "MNIST": Enc_MNIST,
     "MNISTMoE": Enc_MNISTMoE,
     "RESCNN": Enc_RESCNN,

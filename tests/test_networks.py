@@ -14,6 +14,7 @@ B = 2
 # encoder name -> (data shape without batch, needs mask)
 ENC_CASES = {
     "CNN2": ((64, 64, 3), False),
+    "CNNCoord": ((64, 64, 3), False),
     "MNIST": ((28, 28, 1), False),
     "MNISTMoE": ((28, 28, 1), False),
     "RESCNN": ((64, 64, 3), False),
