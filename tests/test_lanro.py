@@ -410,6 +410,18 @@ def test_waypoint_model_end_to_end_eval(tmp_path):
     assert 0.0 <= res["within_2x_tolerance"] <= 1.0
     assert 0.0 <= res["nearest_is_distractor"] <= 1.0
     assert 0.0 <= res["distractor_within_tolerance"] <= 1.0
+    # latent-grounding probe on the same trained model (vilanro_probe.py):
+    # smoke the full diagnostic — ridge/logistic probes fit, the
+    # instruction-flip endpoint shift and shrink/cosine stats come out finite
+    from multimodal_vae_comparison_tpu.eval.vilanro_probe import probe_report
+    rep = probe_report(exp, env_id="NLReach2-v0", scenes_n=20, seed=5)
+    for key in ("probe_img_to_obj_pos_r2", "probe_lang_to_goal_color_acc",
+                "probe_joint_to_obj_pos_r2", "probe_joint_to_goal_offset_r2",
+                "flip_endpoint_shift_m", "endpoint_shrink_ratio",
+                "endpoint_goal_cosine"):
+        assert np.isfinite(rep[key]), (key, rep)
+    assert rep["flip_endpoint_shift_m"] >= 0.0
+    assert 0.0 <= rep["probe_lang_to_goal_color_acc"] <= 1.0
 
 
 def test_vilanro_dataset_loads_waypoints(tmp_path):
