@@ -422,6 +422,11 @@ def test_waypoint_model_end_to_end_eval(tmp_path):
         assert np.isfinite(rep[key]), (key, rep)
     assert rep["flip_endpoint_shift_m"] >= 0.0
     assert 0.0 <= rep["probe_lang_to_goal_color_acc"] <= 1.0
+    # train-split endpoint calibration: the fitted gain is clipped to
+    # [1, 10] and flows through the evaluator's gain pathway
+    res_cal = infer_loop(exp, env_id="NLReach2-v0", trials=2, seed=7,
+                         log_every=0, calibrate=True)
+    assert 1.0 <= res_cal["calibration_gain"] <= 10.0
 
 
 def test_vilanro_dataset_loads_waypoints(tmp_path):
