@@ -610,11 +610,19 @@ class VILANRO(BaseDataset):
 
     def _load_waypoints(self):
         """Start-relative achieved-EE-position trajectories
-        (collect.py --waypoints): same on-disk pkl layout and padded-float
-        pipeline as "actions" — only the replay semantics differ (the
-        closed-loop evaluator converts back to deltas by first differences,
-        vilanro_test.py)."""
-        return self._load_actions()
+        (collect.py --waypoints): same on-disk pkl layout as "actions", but
+        padded by REPEATING the final achieved position (full masks) instead
+        of zero-padding.  The arm physically rests at its endpoint after
+        finishing, so the plateau is the faithful continuation — and it makes
+        every tail step (including the last one, which first-difference
+        replay telescopes to, vilanro_test.py) a *supervised* endpoint
+        prediction rather than an unconstrained decoder extrapolation."""
+        data, masks = self._load_actions()
+        lens = masks.sum(axis=1).astype(int)
+        for i, L in enumerate(lens):
+            if 0 < L < data.shape[1]:
+                data[i, L:] = data[i, L - 1]
+        return data, np.ones_like(masks)
 
     def _fit_action_codebook(self, cont, masks, K):
         valid = cont[masks]                              # (M, A) real steps
