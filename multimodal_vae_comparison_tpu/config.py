@@ -28,6 +28,7 @@ _MOD_DEFAULTS = {
     "llik_scaling": 1,
     "prior": "normal",
     "test_datapath": None,
+    "cond_on": None,
 }
 
 # required in every YAML; also CLI-overridable even when absent from it
@@ -60,6 +61,10 @@ _TOP_DEFAULTS = {
     "remat": False,
     # restart from this run dir's own last checkpoint if present
     "resume": False,
+    # weight of the auxiliary endpoint-supervision loss (POE only): a small
+    # head predicts the action-endpoint from the joint posterior of the
+    # non-action modalities — direct latent grounding supervision
+    "aux_endpoint": 0.0,
 }
 
 
@@ -76,6 +81,10 @@ class ModalityConfig:
     llik_scaling: Any = 1
     private_latents: Optional[int] = None
     test_datapath: Optional[str] = None
+    # decode this modality conditioned on another modality's raw data
+    # (value: the other modality's mod_type or mod_n name); requires a
+    # cond-aware decoder such as TransformerCond
+    cond_on: Optional[str] = None
     # filled in by the data module from the dataset class
     feature_dims: Optional[List[int]] = None
 

@@ -47,7 +47,8 @@ class MultimodalVAEInfer:
             self.model = type(self.model)(
                 specs=self.model.specs, n_latents=self.model.n_latents,
                 obj=self.model.obj, beta=self.model.beta, K=1,
-                dtype=self.model.dtype, remat=self.model.remat)
+                dtype=self.model.dtype, remat=self.model.remat,
+                aux_endpoint=self.model.aux_endpoint)
         self.params = self._restore()
 
     def _restore(self):

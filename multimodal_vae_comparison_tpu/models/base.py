@@ -44,6 +44,13 @@ class ModalitySpec:
     llik_scaling: float = 1.0
     private_latents: Optional[int] = None
     has_masks: bool = False
+    # name of the modality whose raw data conditions this modality's decoder
+    # (resolved from the config's mod_type/name by build_specs); None = the
+    # decoder sees only z.  Direct conditioning bypasses the latent
+    # bottleneck for the conditioning modality — used for language-grounded
+    # action decoding on VILANRO where the instruction must steer the
+    # generated trajectory (reference vilanro_test.py:277-346 protocol).
+    cond_on: Optional[str] = None
 
     @property
     def batch_ndims(self) -> int:
@@ -55,17 +62,45 @@ def build_specs(cfg) -> Tuple[ModalitySpec, ...]:
     (reference mmvae_base.py:41-47: auto = min(data_dim)/prod(data_dim))."""
     dims = [int(np.prod(m.feature_dims)) for m in cfg.mods]
     min_dim = min(dims)
+    # cond_on accepts either a modality block name ("mod_2") or a mod_type
+    # ("language") — resolve both to the block name
+    by_type = {m.mod_type: m.name for m in cfg.mods}
+    names = {m.name for m in cfg.mods}
     specs = []
     for m, d in zip(cfg.mods, dims):
         scaling = float(min_dim) / d if m.llik_scaling == "auto" else float(m.llik_scaling)
+        cond = getattr(m, "cond_on", None)
+        if cond is not None:
+            cond = cond if cond in names else by_type.get(cond)
+            assert cond is not None and cond != m.name, (
+                f"cond_on of {m.name} must name another modality "
+                f"(by mod_type or mod_n), got {getattr(m, 'cond_on', None)}")
         specs.append(ModalitySpec(
             name=m.name, encoder=m.encoder, decoder=m.decoder,
             feature_dims=tuple(m.feature_dims), mod_type=m.mod_type,
             recon_loss=m.recon_loss, prior=m.prior, llik_scaling=scaling,
             private_latents=m.private_latents,
             has_masks=m.mod_type in ("text", "language", "actions", "sequence"),
+            cond_on=cond,
         ))
     return tuple(specs)
+
+
+class _EndpointHead(nn.Module):
+    """Tiny MLP head: joint latents -> predicted 3D action endpoint.
+
+    Auxiliary latent supervision (VERDICT r3 item 1b): forces the joint
+    posterior of the *non-action* modalities to carry the goal geometry the
+    action decoder needs, instead of hoping reconstruction pressure puts it
+    there.  Weighted like a modality via cfg.aux_endpoint."""
+
+    hidden: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(z))
+        return nn.Dense(3, dtype=jnp.float32)(h)
 
 
 class MMVAE(nn.Module):
@@ -85,6 +120,8 @@ class MMVAE(nn.Module):
     # rematerialize encoder/decoder activations in the backward pass
     # (jax.checkpoint): trades FLOPs for HBM on the big video/ResNet trunks
     remat: bool = False
+    # weight of the auxiliary endpoint-supervision loss (0 = off)
+    aux_endpoint: float = 0.0
 
     def setup(self):
         encs, decs = {}, {}
@@ -111,6 +148,8 @@ class MMVAE(nn.Module):
         # scale = softmax(raw) * D, raw trainable from zeros -> N(0, 1) at init.
         self._pz_raw = self.param("pz_logvar", nn.initializers.zeros,
                                   (1, self.n_latents))
+        if self.aux_endpoint > 0:
+            self.aux_head = _EndpointHead(dtype=self.dtype)
 
     # -- spec helpers --------------------------------------------------------
 
@@ -180,11 +219,29 @@ class MMVAE(nn.Module):
                 }
         return out
 
-    def decode_mod(self, name: str, z: jnp.ndarray, mask=None):
+    def _cond_for(self, name: str, batch, present: Tuple[str, ...]):
+        """(data, mask) of the conditioning modality for ``name``'s decoder,
+        or None when unconditioned / the conditioning modality is absent.
+
+        Conditioning is only active when the conditioning modality is in
+        ``present`` — a subset objective that excludes it must not leak its
+        data through the decoder."""
+        spec = self.spec(name)
+        if spec.cond_on is None or spec.cond_on not in present:
+            return None
+        mod = batch.get(spec.cond_on)
+        if mod is None or mod.get("data") is None:
+            return None
+        return (mod["data"], mod.get("masks"))
+
+    def decode_mod(self, name: str, z: jnp.ndarray, mask=None, cond=None):
         """Decode (K, B, D) samples with modality ``name``'s decoder.
 
         K folds into the batch axis for the decoder (keeps decoder shapes 2D
         at the interface and the matmuls large for the MXU) and unfolds after.
+        ``cond`` is an optional (data, mask) pair of the conditioning
+        modality's raw batch (see ModalitySpec.cond_on), tiled across K like
+        the target mask.
         """
         expected = self.n_latents + (self.spec(name).private_latents or 0)
         if z.shape[-1] != expected:
@@ -205,7 +262,15 @@ class MMVAE(nn.Module):
         mask_rep = None
         if mask is not None:
             mask_rep = jnp.tile(mask, (K,) + (1,) * (mask.ndim - 1))
-        mean, scale = self.decoders[name](z_flat, mask_rep)
+        if cond is not None:
+            cdata, cmask = cond
+            cdata = jnp.tile(cdata, (K,) + (1,) * (cdata.ndim - 1))
+            if cmask is not None:
+                cmask = jnp.tile(cmask, (K,) + (1,) * (cmask.ndim - 1))
+            mean, scale = self.decoders[name](z_flat, mask_rep,
+                                              cond=cdata, cond_mask=cmask)
+        else:
+            mean, scale = self.decoders[name](z_flat, mask_rep)
         mean = mean.reshape((K, B) + mean.shape[1:])
         return Normal(mean, scale)
 
@@ -216,6 +281,26 @@ class MMVAE(nn.Module):
         lpx = objectives.recon_log_prob(spec.recon_loss, dist, target, mask,
                                         batch_ndims=dist.mean.ndim - target.ndim + 1)
         return lpx * spec.llik_scaling
+
+    def endpoint_spec(self) -> Optional[ModalitySpec]:
+        """The action-waypoint modality the aux endpoint head supervises on
+        (waypoints are padded by repeating the final achieved position, so
+        data[:, -1, :3] IS the trajectory endpoint — data/datasets.py)."""
+        return next((s for s in self.specs
+                     if s.mod_type == "action_waypoints"), None)
+
+    def aux_endpoint_loss(self, z: jnp.ndarray, batch):
+        """(weighted loss term, per-sample mse metric) of the endpoint head
+        on latents z of shape (K, B, D shared)."""
+        spec = self.endpoint_spec()
+        assert spec is not None, "aux_endpoint requires an action_waypoints modality"
+        target = batch[spec.name]["data"][:, -1, ...]
+        target = target.reshape(target.shape[0], -1)[:, :3]       # (B, 3)
+        pred = self.aux_head(z[..., : self.n_latents])            # (K, B, 3)
+        sq = jnp.sum((pred - target[None]) ** 2, axis=-1)         # (K, B)
+        per_sample = jnp.mean(sq, axis=0)                         # (B,)
+        return (self.aux_endpoint * jnp.sum(per_sample),
+                jnp.mean(per_sample))
 
     def sample_posterior(self, spec, params, key, K=None):
         qz = self.posterior(spec, *params)

@@ -186,9 +186,13 @@ class Dec_FNN(VaeDecoder):
 
 
 def _time_query_decode(z, mask, seq_len, d_model, num_layers, num_heads,
-                       ff_size, dtype):
+                       ff_size, dtype, memory=None, memory_bias=None):
     """Shared sequence-decoding trunk: positional time-queries cross-attend to
     z as a single-token memory (reference decoders.py:594-615).
+
+    ``memory``/``memory_bias`` extend the memory beyond the single z token
+    (conditioned decoding, e.g. language tokens for action generation);
+    ``memory_bias`` is an additive (B, 1, 1, Tm) key-padding bias.
 
     Deliberate fix vs the reference: NO self-attention among the queries.
     The reference's decoder self-attends over the queries under the padding
@@ -203,13 +207,15 @@ def _time_query_decode(z, mask, seq_len, d_model, num_layers, num_heads,
     queries = jnp.tile(positional_encoding(seq_len, d_model, dtype=dtype)[None],
                        (b, 1, 1))
     h = queries
-    memory = z[:, None, :]
+    if memory is None:
+        memory = z[:, None, :]
     from multimodal_vae_comparison_tpu.models.nets import (
         MultiHeadAttention)
     from flax import linen as nn
     for i in range(num_layers):
         att = MultiHeadAttention(num_heads, dtype=dtype,
-                                 name=f"cross_attn_{i}")(h, memory)
+                                 name=f"cross_attn_{i}")(h, memory,
+                                                         memory_bias)
         h = nn.LayerNorm(dtype=dtype, name=f"ln1_{i}")(h + att)
         ff = nn.Dense(ff_size, dtype=dtype, name=f"ff1_{i}")(h)
         ff = nn.gelu(ff)
@@ -237,6 +243,56 @@ class Dec_Transformer(VaeDecoder):
         zin = nn.Dense(d_model, dtype=self.dtype)(z) if d_model != z.shape[-1] else z
         out = _time_query_decode(zin, mask, seq_len, d_model, self.num_layers,
                                  self.num_heads, self.ff_size, self.dtype)
+        out = nn.Dense(njoints * nfeats, dtype=self.dtype, name="finallayer")(out)
+        out = out.reshape(b, seq_len, njoints, nfeats).astype(jnp.float32)
+        if len(self.data_dim) <= 2:
+            out = out.squeeze(-1)
+        if mask is not None:
+            m = mask.astype(out.dtype).reshape(b, seq_len, *([1] * (out.ndim - 2)))
+            out = out * m
+        return out, self.scale_like(out)
+
+
+class Dec_TransformerCond(VaeDecoder):
+    """Conditioned sequence decoder: Dec_Transformer whose memory holds the
+    z token PLUS the conditioning modality's embedded tokens (cross-attention
+    language grounding — VERDICT r3 item 1a; no reference counterpart, the
+    reference decodes every modality from z alone, decoders.py:546-615).
+
+    With ``cond=None`` (prior/joint generation without the conditioning
+    modality) it degrades to the plain single-token-memory decoder — the two
+    cases are separate static traces, so no runtime branching."""
+
+    ff_size: int = 1024
+    num_layers: int = 4
+    num_heads: int = 4
+    d_model: int = 128
+
+    @nn.compact
+    def __call__(self, z, mask=None, train: bool = False,
+                 cond=None, cond_mask=None):
+        b = z.shape[0]
+        seq_len = self.data_dim[0]
+        njoints = self.data_dim[1]
+        nfeats = self.data_dim[2] if len(self.data_dim) > 2 else 1
+        d_model = self.d_model
+        z_tok = nn.Dense(d_model, dtype=self.dtype, name="z_proj")(z)[:, None, :]
+        memory, bias = z_tok, None
+        if cond is not None:
+            # cond: (B, L, vocab) one-hot tokens -> embed + positions
+            ce = nn.Dense(d_model, dtype=self.dtype, name="cond_embed")(cond)
+            ce = ce + positional_encoding(ce.shape[1], d_model,
+                                          dtype=self.dtype)[None]
+            memory = jnp.concatenate([z_tok, ce], axis=1)
+            if cond_mask is not None:
+                keep = jnp.concatenate(
+                    [jnp.ones((b, 1), bool), cond_mask.astype(bool)], axis=1)
+                bias = jnp.where(keep, 0.0, -1e9).astype(jnp.float32)
+                bias = bias[:, None, None, :]
+        out = _time_query_decode(z_tok[:, 0], mask, seq_len, d_model,
+                                 self.num_layers, self.num_heads,
+                                 self.ff_size, self.dtype,
+                                 memory=memory, memory_bias=bias)
         out = nn.Dense(njoints * nfeats, dtype=self.dtype, name="finallayer")(out)
         out = out.reshape(b, seq_len, njoints, nfeats).astype(jnp.float32)
         if len(self.data_dim) <= 2:
@@ -362,6 +418,7 @@ DECODERS = {
     "RESCNN": Dec_RESCNN,
     "FNN": Dec_FNN,
     "Transformer": Dec_Transformer,
+    "TransformerCond": Dec_TransformerCond,
     "TxtTransformer": Dec_TxtTransformer,
     "ConvTxt": Dec_ConvTxt,
     "TransformerIMG": Dec_TransformerIMG,

@@ -76,12 +76,14 @@ class MOE(MMVAE):
             name = spec.name
             src = name if name in present else filled[0]
             z = zs[src]
-            dec = self.decode_mod(name, z, _mask_of(batch, name))
+            cond = self._cond_for(name, batch, present)
+            dec = self.decode_mod(name, z, _mask_of(batch, name), cond=cond)
             cross = {}
             for other in self.mod_names:
                 if other != name and other in present:
                     cross[other] = self.decode_mod(name, zs[other],
-                                                   _mask_of(batch, name))
+                                                   _mask_of(batch, name),
+                                                   cond=cond)
             mods[name] = ModalityOutput(encoder_dist=qzs[name],
                                         decoder_dist=dec,
                                         cross_decoder_dist=cross,
@@ -177,7 +179,9 @@ class MOE(MMVAE):
                 # decode *all* modalities from z_r: own + crosses
                 lpx_all = None
                 for tgt in self.mod_names:
-                    dec = self.decode_mod(tgt, z_r, _mask_of(batch, tgt))
+                    dec = self.decode_mod(tgt, z_r, _mask_of(batch, tgt),
+                                          cond=self._cond_for(
+                                              tgt, batch, self.mod_names))
                     lpx_t = self.recon_lpx(self.spec(tgt), dec, batch)
                     if tgt == spec.name:
                         rec_per_mod[spec.name] = (-jnp.sum(_kmean(lpx_t))
@@ -231,7 +235,8 @@ class POE(MMVAE):
         z = joint.rsample(self.make_rng("sample"), (self.K,))
         mods = {}
         for spec in self.specs:
-            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name),
+                                  cond=self._cond_for(spec.name, batch, present))
             enc = (Normal(*qz_params[spec.name]["shared"])
                    if spec.name in present else None)
             mods[spec.name] = ModalityOutput(encoder_dist=enc, joint_dist=joint,
@@ -245,6 +250,8 @@ class POE(MMVAE):
         total = jnp.zeros(())
         total_kld = jnp.zeros(())
         rec_per_mod = {s.name: jnp.zeros(()) for s in self.specs}
+        aux_spec = self.endpoint_spec() if self.aux_endpoint > 0 else None
+        aux_metrics = {}
         for subset in lattice:
             present = tuple(self.specs[i].name for i in subset)
             out = self.forward(batch, present)
@@ -259,7 +266,17 @@ class POE(MMVAE):
                     rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
             total = total + (-(lpx_sum - self.beta * jnp.sum(kld)))
             total_kld = total_kld + jnp.mean(kld)
-        metrics = {"kld": total_kld / len(lattice),
+            # auxiliary endpoint supervision on the joint posterior of all
+            # NON-action modalities (the evaluation-time conditioning set):
+            # supervising the full subset instead would be shortcut through
+            # the action expert, which trivially encodes its own endpoint
+            if (aux_spec is not None and aux_spec.name not in present
+                    and len(present) == len(self.specs) - 1):
+                aux_term, aux_mse = self.aux_endpoint_loss(any_mod.latents,
+                                                           batch)
+                total = total + aux_term
+                aux_metrics["aux_endpoint_mse"] = aux_mse
+        metrics = {"kld": total_kld / len(lattice), **aux_metrics,
                    **{f"reconstruction_loss_{k}": v for k, v in rec_per_mod.items()}}
         return total, metrics
 
@@ -303,7 +320,8 @@ class MoPOE(MMVAE):
         for spec in self.specs:
             enc = (Normal(*qz_params[spec.name]["shared"])
                    if spec.name in present else None)
-            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name),
+                                  cond=self._cond_for(spec.name, batch, present))
             mods[spec.name] = ModalityOutput(encoder_dist=enc, joint_dist=joint,
                                              decoder_dist=dec, latents=z)
         return VAEOutput(mods=mods)
@@ -325,7 +343,8 @@ class MoPOE(MMVAE):
         lpx_total = jnp.zeros(())
         rec_per_mod = {}
         for spec in self.specs:
-            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name))
+            dec = self.decode_mod(spec.name, z, _mask_of(batch, spec.name),
+                                  cond=self._cond_for(spec.name, batch, present))
             lpx = _kmean(self.recon_lpx(spec, dec, batch))
             lpx_total = lpx_total + jnp.mean(lpx)
             rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
@@ -369,8 +388,11 @@ class DMVAE(MMVAE):
                 prior_priv = Normal(jnp.zeros((B, spec.private_latents)),
                                     jnp.ones((B, spec.private_latents)))
                 z_priv = prior_priv.rsample(self.make_rng("sample"), (self.K,))
-            dec = self.decode_mod(name, jnp.concatenate([z_shared, z_priv], -1), mask)
-            dec_joint = self.decode_mod(name, jnp.concatenate([z_joint, z_priv], -1), mask)
+            cond = self._cond_for(name, batch, present)
+            dec = self.decode_mod(name, jnp.concatenate([z_shared, z_priv], -1),
+                                  mask, cond=cond)
+            dec_joint = self.decode_mod(
+                name, jnp.concatenate([z_joint, z_priv], -1), mask, cond=cond)
             cross = {}
             for other in present:
                 if other == name:
@@ -378,7 +400,7 @@ class DMVAE(MMVAE):
                 q_o = Normal(*qz_params[other]["shared"])
                 z_o = q_o.rsample(self.make_rng("sample"), (self.K,))
                 cross[other] = self.decode_mod(
-                    name, jnp.concatenate([z_o, z_priv], -1), mask)
+                    name, jnp.concatenate([z_o, z_priv], -1), mask, cond=cond)
             mods[name] = ModalityOutput(encoder_dist=qz, enc_dist_private=qz_priv,
                                         joint_dist=joint, decoder_dist=dec,
                                         joint_decoder_dist=dec_joint,

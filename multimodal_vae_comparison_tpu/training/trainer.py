@@ -53,7 +53,8 @@ def build_model(cfg, dtype=jnp.float32):
     specs = build_specs(cfg)
     kwargs = dict(specs=specs, n_latents=cfg.n_latents, obj=cfg.obj,
                   beta=cfg.beta, K=cfg.K, dtype=dtype,
-                  remat=bool(getattr(cfg, "remat", False)))
+                  remat=bool(getattr(cfg, "remat", False)),
+                  aux_endpoint=float(getattr(cfg, "aux_endpoint", 0.0) or 0.0))
     if len(specs) == 1:
         return UnimodalVAE(**kwargs)
     return get_mixing(cfg.mixing)(**kwargs)

@@ -1,0 +1,131 @@
+"""Language-conditioned action decoding + auxiliary endpoint supervision.
+
+Round-4 grounding work (VERDICT r3 item 1): the action decoder cross-attends
+to the instruction tokens alongside z (ModalitySpec.cond_on +
+Dec_TransformerCond), and a small head on the image+language joint posterior
+is supervised to predict the trajectory endpoint (cfg.aux_endpoint).  These
+tests pin the plumbing: conditioning reaches the decoder (flipping the
+instruction changes the generated trajectory), the aux loss only applies to
+subsets WITHOUT the action expert, and unconditioned generation (prior
+sampling) still works.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_vae_comparison_tpu.config import Config
+from multimodal_vae_comparison_tpu.lanro.collect import collect
+
+
+def _cond_cfg(tmp_path, data_dir, aux=0.0, mixing="poe"):
+    return Config({
+        "batch_size": 4, "epochs": 2, "exp_name": f"cond_{mixing}_{aux}",
+        "lr": 1e-3, "mixing": mixing, "n_latents": 8, "obj": "elbo",
+        "optimizer": "adam", "seed": 1, "test_split": 0.25, "viz_freq": 100,
+        "labels": None, "dataset_name": "vilanro", "aux_endpoint": aux,
+        "modality_1": {"encoder": "TxtTransformer", "decoder": "TxtTransformer",
+                       "mod_type": "language",
+                       "path": str(data_dir / "instructions_final.pkl"),
+                       "recon_loss": "category_ce"},
+        "modality_2": {"encoder": "Transformer", "decoder": "TransformerCond",
+                       "mod_type": "action_waypoints", "cond_on": "language",
+                       "path": str(data_dir / "endeff_actions_final.pkl"),
+                       "recon_loss": "mse"},
+        "modality_3": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "front RGB",
+                       "path": str(data_dir / "image_final.pkl"),
+                       "recon_loss": "bce"},
+    }, results_root=str(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def way_data(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("way_data")
+    collect("NLReach2-v0", episodes=6, out_dir=str(data_dir), seed=3,
+            waypoints=True)
+    return data_dir
+
+
+def test_cond_spec_resolution(way_data, tmp_path):
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+    from multimodal_vae_comparison_tpu.models.base import build_specs
+    cfg = _cond_cfg(tmp_path, way_data)
+    DataModule(cfg).setup()
+    specs = build_specs(cfg)
+    assert specs[1].cond_on == "mod_1"      # resolved from mod_type "language"
+    assert specs[0].cond_on is None and specs[2].cond_on is None
+
+
+def test_cond_train_aux_and_flip_dependence(way_data, tmp_path):
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+    from multimodal_vae_comparison_tpu.eval.vilanro_test import infer_loop
+    from multimodal_vae_comparison_tpu.training.trainer import Trainer
+
+    cfg = _cond_cfg(tmp_path, way_data, aux=100.0)
+    trainer = Trainer(cfg, enable_viz=False)
+    trainer.fit(epochs=2)
+    # aux metric flowed through the jitted objective into the CSV log
+    csv = os.path.join(cfg.mPath, "metrics.csv")
+    with open(csv) as f:
+        header = f.readline()
+    assert "aux_endpoint_mse" in header
+
+    exp = MultimodalVAEInfer(cfg.mPath)
+    # direct language->decoder path: same image, flipped instruction must
+    # move the generated trajectory (cross-attention sees the tokens even
+    # when the latent ignores them)
+    batch, _ = exp.get_test_samples(2, split="train")
+    inputs = {"mod_1": batch["mod_1"], "mod_3": batch["mod_3"]}
+    out_a = exp.forward(inputs, present=("mod_3", "mod_1"))
+    flipped = {
+        "mod_1": {"data": np.roll(np.asarray(batch["mod_1"]["data"]),
+                                  1, axis=-1),
+                  "masks": batch["mod_1"]["masks"]},
+        "mod_3": batch["mod_3"],
+    }
+    out_b = exp.forward(flipped, present=("mod_3", "mod_1"))
+    tr_a = np.asarray(out_a.mods["mod_2"].decoder_dist.mean)
+    tr_b = np.asarray(out_b.mods["mod_2"].decoder_dist.mean)
+    assert np.abs(tr_a - tr_b).max() > 1e-6
+
+    # unconditioned decode (prior sampling) must still trace and run
+    gen = exp.joint_generate(3, seed=0)
+    assert gen["mod_2"].shape[0] == 3
+
+    # full evaluator path with the conditioned decoder
+    res = infer_loop(exp, env_id="NLReach2-v0", trials=2, seed=7, log_every=0)
+    assert 0.0 <= res["success_rate"] <= 1.0
+
+
+def test_aux_endpoint_skips_action_subset(way_data, tmp_path):
+    """The aux head must supervise only the non-action joint posterior: on a
+    model whose action expert perfectly knows the endpoint, supervision on
+    the full subset would be a shortcut.  We pin the gradient structure: the
+    aux head's gradient must not flow through the ACTION encoder."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_vae_comparison_tpu.data.datamodule import DataModule
+    from multimodal_vae_comparison_tpu.training.trainer import build_model
+
+    cfg = _cond_cfg(tmp_path, way_data, aux=100.0)
+    dm = DataModule(cfg)
+    dm.setup()
+    batch = next(dm.batches("train", batch_size=4))
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng}, batch,
+                        method=model.objective)
+
+    def aux_only(p):
+        _, metrics = model.apply(p, batch, rngs={"sample": rng},
+                                 method=model.objective)
+        return metrics["aux_endpoint_mse"]
+
+    grads = jax.grad(aux_only)(params)
+    g_act_enc = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), grads["params"]["enc_mod_2"], 0.0)
+    g_img_enc = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), grads["params"]["enc_mod_3"], 0.0)
+    assert float(g_act_enc) == 0.0
+    assert float(g_img_enc) > 0.0
