@@ -65,6 +65,8 @@ _TOP_DEFAULTS = {
     # head predicts the action-endpoint from the joint posterior of the
     # non-action modalities — direct latent grounding supervision
     "aux_endpoint": 0.0,
+    # >1 = learnable mixture-of-Gaussians prior with this many components
+    "prior_components": 1,
 }
 
 

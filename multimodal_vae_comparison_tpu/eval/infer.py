@@ -48,7 +48,8 @@ class MultimodalVAEInfer:
                 specs=self.model.specs, n_latents=self.model.n_latents,
                 obj=self.model.obj, beta=self.model.beta, K=1,
                 dtype=self.model.dtype, remat=self.model.remat,
-                aux_endpoint=self.model.aux_endpoint)
+                aux_endpoint=self.model.aux_endpoint,
+                prior_components=self.model.prior_components)
         self.params = self._restore()
 
     def _restore(self):
@@ -148,10 +149,11 @@ class MultimodalVAEInfer:
                  + temperature * scales[np.asarray(idx)] * np.asarray(eps))
             z = z[None]
         else:
-            mu, scale = self.model.apply(self.params,
-                                         method=lambda m: m.pz_params())
-            z = mu + temperature * scale * jax.random.normal(
-                key, (1, num_samples, D))
+            # sample_pz covers both the learned-scale Gaussian and the
+            # mixture prior (prior_components > 1)
+            z = self.model.apply(
+                self.params, key, num_samples, temperature,
+                method=lambda m, k, n, t: m.sample_pz(k, n, t))
         recons = {}
         for name in self.mod_names:
             dist = self.model.apply(

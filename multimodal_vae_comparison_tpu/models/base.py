@@ -25,7 +25,7 @@ from flax import linen as nn
 from multimodal_vae_comparison_tpu.models import objectives
 from multimodal_vae_comparison_tpu.models.decoders import get_decoder
 from multimodal_vae_comparison_tpu.models.distributions import (
-    Normal, get_dist, kl_divergence)
+    MixtureNormal, Normal, get_dist, kl_divergence, log_prob_joint)
 from multimodal_vae_comparison_tpu.models.encoders import get_encoder
 from multimodal_vae_comparison_tpu.models.output import VAEOutput
 
@@ -122,6 +122,10 @@ class MMVAE(nn.Module):
     remat: bool = False
     # weight of the auxiliary endpoint-supervision loss (0 = off)
     aux_endpoint: float = 0.0
+    # >1 = learnable mixture-of-Gaussians prior with this many components
+    # (closes the prior/aggregate-posterior mismatch behind ~0 Joint Strict
+    # under the reference's prior-sampling protocol)
+    prior_components: int = 1
 
     def setup(self):
         encs, decs = {}, {}
@@ -150,6 +154,18 @@ class MMVAE(nn.Module):
                                   (1, self.n_latents))
         if self.aux_endpoint > 0:
             self.aux_head = _EndpointHead(dtype=self.dtype)
+        if self.prior_components > 1:
+            C = self.prior_components
+            # spread the component means; raw scale 0 -> softplus ~= 1.24
+            # (slightly over-dispersed at init, shrinks during training)
+            self._mog_loc = self.param(
+                "pz_mog_loc", nn.initializers.normal(1.0),
+                (C, self.n_latents))
+            self._mog_rawscale = self.param(
+                "pz_mog_rawscale", nn.initializers.zeros,
+                (C, self.n_latents))
+            self._mog_logits = self.param(
+                "pz_mog_logits", nn.initializers.zeros, (C,))
 
     # -- spec helpers --------------------------------------------------------
 
@@ -171,8 +187,32 @@ class MMVAE(nn.Module):
         return jnp.zeros_like(self._pz_raw), scale
 
     def pz(self):
+        if self.prior_components > 1:
+            scale = jax.nn.softplus(self._mog_rawscale + 0.5413) + 1e-4
+            return MixtureNormal(self._mog_loc, scale, self._mog_logits)
         mu, scale = self.pz_params()
         return Normal(mu, scale)
+
+    def sample_pz(self, key, num: int, temperature: float = 1.0):
+        """(1, num, D) prior samples for joint generation — works for both
+        the learned-scale Gaussian and the mixture prior."""
+        pz = self.pz()
+        if isinstance(pz, MixtureNormal):
+            return pz.sample(key, num, temperature)[None]
+        mu, scale = self.pz_params()
+        eps = jax.random.normal(key, (1, num, self.n_latents))
+        return mu + temperature * scale * eps
+
+    def kld_to_prior(self, dist, z) -> jnp.ndarray:
+        """(B,) KL(dist || learned prior): closed form for the Gaussian
+        prior, MC over the already-drawn (K, B, D) posterior samples for
+        the mixture prior (no closed form exists)."""
+        pz = self.pz()
+        if isinstance(pz, Normal):
+            return kl_divergence(dist, pz).sum(-1)
+        lq = dist.log_prob(z).sum(-1)          # (K, B)
+        lp = pz.log_prob(z)                    # (K, B)
+        return jnp.mean(lq - lp, axis=0)
 
     def posterior(self, spec: ModalitySpec, mu, scale):
         return get_dist(spec.prior)(mu, scale)

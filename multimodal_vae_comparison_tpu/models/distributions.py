@@ -155,6 +155,56 @@ def get_dist(name: str):
     return DIST_MAP[key]
 
 
+@struct.dataclass
+class MixtureNormal(Distribution):
+    """Mixture of diagonal Gaussians — the learnable prior family (round 4).
+
+    The prior/aggregate-posterior mismatch drives joint coherency to ~0
+    under the reference's prior-sampling protocol (trainer.py:217-239):
+    a single learned-scale Gaussian cannot cover a multimodal aggregate
+    posterior.  A trained mixture (VampPrior-style, components learned
+    directly in latent space as in Tomczak & Welling 2018's MoG baseline)
+    closes that gap *inside* the model instead of via the ex-post
+    aggregate-posterior sampler.
+
+    ``log_prob`` is the JOINT density over the last axis — (..., D) in,
+    (...) out — unlike the factorized families' per-dim convention; use
+    :func:`log_prob_joint` at call sites that handle both.
+    """
+
+    locs: jnp.ndarray     # (C, D)
+    scales: jnp.ndarray   # (C, D)
+    logits: jnp.ndarray   # (C,)
+
+    @property
+    def mean(self):
+        w = jax.nn.softmax(self.logits)
+        return jnp.einsum("c,cd->d", w, self.locs)[None]
+
+    def log_prob(self, x):
+        # (..., D) -> (..., 1, D) against (C, D) components
+        comp = Normal(self.locs, self.scales).log_prob(x[..., None, :]).sum(-1)
+        logw = jax.nn.log_softmax(self.logits)
+        return jax.scipy.special.logsumexp(comp + logw, axis=-1)
+
+    def sample(self, key, num: int, temperature: float = 1.0):
+        """(num, D) ancestral samples (component choice is not
+        reparameterized — generation only)."""
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.categorical(k1, self.logits, shape=(num,))
+        eps = jax.random.normal(k2, (num, self.locs.shape[-1]),
+                                dtype=self.locs.dtype)
+        return self.locs[idx] + temperature * self.scales[idx] * eps
+
+
+def log_prob_joint(dist, x):
+    """Joint log-density over the event (last) axis for both conventions:
+    factorized families return per-dim terms (sum them); MixtureNormal is
+    already joint."""
+    lp = dist.log_prob(x)
+    return lp if isinstance(dist, MixtureNormal) else lp.sum(-1)
+
+
 def kl_divergence(d1, d2, key=None, n_mc: int = 100):
     """Closed-form KL if both distributions share a family, else MC estimate.
 

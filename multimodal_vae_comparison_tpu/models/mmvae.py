@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from multimodal_vae_comparison_tpu.models import objectives
 from multimodal_vae_comparison_tpu.models.base import MMVAE
 from multimodal_vae_comparison_tpu.models.distributions import (
-    Normal, kl_divergence, log_mean_exp)
+    Normal, kl_divergence, log_mean_exp, log_prob_joint)
 from multimodal_vae_comparison_tpu.models.output import ModalityOutput, VAEOutput
 from multimodal_vae_comparison_tpu.ops.fusion import (
     mixture_component_selection, product_of_experts, subset_lattice)
@@ -117,7 +117,8 @@ class MOE(MMVAE):
         for spec in self.specs:
             mo = out.mods[spec.name]
             qz = mo.encoder_dist
-            kld = self.kld_std(spec, qz)
+            kld = (self.kld_to_prior(qz, mo.latents)
+                   if self.prior_components > 1 else self.kld_std(spec, qz))
             klds.append(kld)
             lpx_own = self.recon_lpx(spec, mo.decoder_dist, batch)
             # metric convention (shared with POE/MoPoE/DMVAE): K-averaged,
@@ -168,7 +169,7 @@ class MOE(MMVAE):
             lws = []
             for spec in self.specs:
                 z_r = zs_dict[spec.name]                      # (K, B, D)
-                lpz = pz.log_prob(z_r).sum(-1)
+                lpz = log_prob_joint(pz, z_r)
                 q_terms = []
                 for other in self.mod_names:
                     q = qzs[other]
@@ -256,7 +257,7 @@ class POE(MMVAE):
             present = tuple(self.specs[i].name for i in subset)
             out = self.forward(batch, present)
             any_mod = out.mods[self.mod_names[0]]
-            kld = kl_divergence(any_mod.joint_dist, pz).sum(-1)
+            kld = self.kld_to_prior(any_mod.joint_dist, any_mod.latents)
             lpx_sum = jnp.zeros(())
             for spec in self.specs:
                 lpx = _kmean(self.recon_lpx(
@@ -338,7 +339,13 @@ class MoPOE(MMVAE):
         w = 1.0 / len(dists)
         group_div = jnp.zeros(())
         for d in dists:
-            group_div = group_div + w * jnp.mean(kl_divergence(d, pz).sum(-1))
+            if self.prior_components > 1:
+                z_d = z if d is joint else d.rsample(
+                    self.make_rng("sample"), (self.K,))
+                div = self.kld_to_prior(d, z_d)
+            else:
+                div = kl_divergence(d, pz).sum(-1)
+            group_div = group_div + w * jnp.mean(div)
         # reference reduces lpx with a batch mean (mmvae_models.py:315)
         lpx_total = jnp.zeros(())
         rec_per_mod = {}
@@ -420,10 +427,16 @@ class DMVAE(MMVAE):
         for spec in self.specs:
             mo = out.mods[spec.name]
             lpx = _kmean(self.recon_lpx(spec, mo.decoder_dist, batch))
-            kld = kl_divergence(mo.encoder_dist, pz).sum(-1)
             lpx_joint = _kmean(self.recon_lpx(spec, mo.joint_decoder_dist,
                                               batch))
-            kld_joint = kl_divergence(mo.joint_dist, pz).sum(-1)
+            if self.prior_components > 1:
+                kld = self.kld_to_prior(mo.encoder_dist, mo.latents)
+                z_j = mo.joint_dist.rsample(self.make_rng("sample"),
+                                            (self.K,))
+                kld_joint = self.kld_to_prior(mo.joint_dist, z_j)
+            else:
+                kld = kl_divergence(mo.encoder_dist, pz).sum(-1)
+                kld_joint = kl_divergence(mo.joint_dist, pz).sum(-1)
             prior_priv = Normal(jnp.zeros((1, spec.private_latents)),
                                 jnp.ones((1, spec.private_latents)))
             lpx_cross = jnp.zeros(())
@@ -494,7 +507,9 @@ class UnimodalVAE(MMVAE):
         mo = out.mods[spec.name]
         lpx = self.recon_lpx(spec, mo.decoder_dist, batch)
         if self.obj in ("elbo", "elbo_gumbel"):
-            kld = self.kld_std(spec, mo.encoder_dist)
+            kld = (self.kld_to_prior(mo.encoder_dist, mo.latents)
+                   if self.prior_components > 1
+                   else self.kld_std(spec, mo.encoder_dist))
             loss = objectives.elbo(lpx, kld, self.beta)
             kld_m = jnp.sum(kld)
         elif self.obj == "dreg":
@@ -504,18 +519,18 @@ class UnimodalVAE(MMVAE):
             pz = self.pz()
             z = mo.latents
             q_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, mo.encoder_dist)
-            lw = pz.log_prob(z).sum(-1) + lpx - q_sg.log_prob(z).sum(-1)
+            lw = log_prob_joint(pz, z) + lpx - q_sg.log_prob(z).sum(-1)
             w = objectives.dreg_grad_weights(lw)              # (K, B)
             z_s = objectives.scale_grad(z, w[..., None])
             dec_s = self.decode_mod(spec.name, z_s, _mask_of(batch, spec.name))
             lpx_s = self.recon_lpx(spec, dec_s, batch)
-            lw_s = pz.log_prob(z_s).sum(-1) + lpx_s - q_sg.log_prob(z_s).sum(-1)
+            lw_s = log_prob_joint(pz, z_s) + lpx_s - q_sg.log_prob(z_s).sum(-1)
             loss = objectives.dreg(lw_s)
             kld_m = jnp.zeros(())
         else:
             pz = self.pz()
             lqz = mo.encoder_dist.log_prob(mo.latents).sum(-1)
-            lpz = pz.log_prob(mo.latents).sum(-1)
+            lpz = log_prob_joint(pz, mo.latents)
             lw = lpz + lpx - lqz
             loss = objectives.iwae(lw)
             kld_m = jnp.zeros(())

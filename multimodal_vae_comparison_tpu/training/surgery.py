@@ -47,7 +47,10 @@ def grow_latents(params: Dict[str, Any], model, new_n_latents: int,
     new_model = type(model)(specs=model.specs, n_latents=new_n_latents,
                             obj=model.obj, beta=model.beta, K=model.K,
                             dtype=model.dtype,
-                            remat=getattr(model, "remat", False))
+                            remat=getattr(model, "remat", False),
+                            aux_endpoint=getattr(model, "aux_endpoint", 0.0),
+                            prior_components=getattr(model,
+                                                     "prior_components", 1))
     if delta == 0:
         return new_model, params
 
@@ -71,8 +74,10 @@ def grow_latents(params: Dict[str, Any], model, new_n_latents: int,
         if ("mu_layer" in path_str or "logvar_layer" in path_str) and \
                 leaf.ndim >= 1 and leaf.shape[-1] == _head_dim(model, path_str):
             out = _pad_axis(leaf, leaf.ndim - 1, _head_dim(model, path_str) + delta, sub)
-        # prior raw params
-        elif "pz_logvar" in path_str and leaf.shape[-1] == model.n_latents:
+        # prior raw params (incl. the mixture prior's per-component rows)
+        elif (("pz_logvar" in path_str or "pz_mog_loc" in path_str
+               or "pz_mog_rawscale" in path_str)
+              and leaf.shape[-1] == model.n_latents):
             out = _pad_axis(leaf, leaf.ndim - 1, new_n_latents, sub)
         # decoder first dense: widen input axis (0) of the kernel
         elif path_str in input_kernels:

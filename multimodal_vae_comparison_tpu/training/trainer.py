@@ -54,7 +54,9 @@ def build_model(cfg, dtype=jnp.float32):
     kwargs = dict(specs=specs, n_latents=cfg.n_latents, obj=cfg.obj,
                   beta=cfg.beta, K=cfg.K, dtype=dtype,
                   remat=bool(getattr(cfg, "remat", False)),
-                  aux_endpoint=float(getattr(cfg, "aux_endpoint", 0.0) or 0.0))
+                  aux_endpoint=float(getattr(cfg, "aux_endpoint", 0.0) or 0.0),
+                  prior_components=int(getattr(cfg, "prior_components", 1)
+                                       or 1))
     if len(specs) == 1:
         return UnimodalVAE(**kwargs)
     return get_mixing(cfg.mixing)(**kwargs)
