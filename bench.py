@@ -153,21 +153,19 @@ def _compute_dtype():
             else jnp.float32)
 
 
-def _build(batch_size):
+def _assemble(model, batch):
+    """(state, batch, rng, raw_step) for any model/batch pair, with the
+    bf16-on-TPU compute path (params stay fp32)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    import __graft_entry__ as ge
     from multimodal_vae_comparison_tpu.training.trainer import (
         TrainState, make_train_step)
 
-    model = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
-    # bf16 compute path on TPU (params stay fp32)
     model = type(model)(specs=model.specs, n_latents=model.n_latents,
                         obj=model.obj, beta=model.beta, K=model.K,
-                        dtype=_compute_dtype())
-    batch = ge._batch(batch_size, seq_len=SEQ)
+                        dtype=_compute_dtype(), remat=model.remat)
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng, "sample": rng}, batch,
                         method=model.objective)
@@ -176,6 +174,125 @@ def _build(batch_size):
                        step=jnp.zeros((), jnp.int32))
     raw_step = make_train_step(model, tx, jit=False)
     return state, batch, rng, raw_step
+
+
+def _build(batch_size):
+    import __graft_entry__ as ge
+    model = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
+    batch = ge._batch(batch_size, seq_len=SEQ)
+    return _assemble(model, batch)
+
+
+def _family_workloads():
+    """Model-zoo benchmark family builders (VERDICT r3 item 6): each returns
+    (model, batch) at its measured suite configuration, so the perf story
+    covers MOE/K>1, the MoPoE powerset, and VideoGPT video shapes — not just
+    the bimodal PoE point."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_vae_comparison_tpu.models import get_mixing
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+
+    def moe_dreg_k10(bs=24):
+        import __graft_entry__ as ge
+        m = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
+        model = get_mixing("moe")(specs=m.specs, n_latents=LATENTS,
+                                  obj="dreg", K=10)
+        return model, ge._batch(bs, seq_len=SEQ)
+
+    def mopoe_polymnist(bs=128):
+        specs = tuple(
+            ModalitySpec(name=f"mod_{i+1}", encoder="PolyMNIST",
+                         decoder="PolyMNIST", feature_dims=(28, 28, 3),
+                         mod_type=f"m{i}", recon_loss="bce")
+            for i in range(5))
+        model = get_mixing("mopoe")(specs=specs, n_latents=24)
+        k = jax.random.PRNGKey(0)
+        batch = {f"mod_{i+1}": {"data": jax.random.uniform(
+            jax.random.fold_in(k, i), (bs, 28, 28, 3)), "masks": None}
+            for i in range(5)}
+        return model, batch
+
+    def videogpt_sprites(bs=16):
+        specs = (
+            ModalitySpec(name="mod_1", encoder="VideoGPT", decoder="VideoGPT",
+                         feature_dims=(8, 64, 64, 3), mod_type="frames",
+                         recon_loss="bce"),
+            ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                         feature_dims=(9,), mod_type="actions",
+                         recon_loss="bce"),
+            ModalitySpec(name="mod_3", encoder="FNN", decoder="FNN",
+                         feature_dims=(4, 6), mod_type="attributes",
+                         recon_loss="bce"),
+        )
+        model = get_mixing("moe")(specs=specs, n_latents=32, obj="dreg",
+                                  K=5, remat=True)
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, 3)
+        batch = {
+            "mod_1": {"data": jax.random.uniform(ks[0], (bs, 8, 64, 64, 3)),
+                      "masks": None},
+            "mod_2": {"data": jax.random.uniform(ks[1], (bs, 9)),
+                      "masks": None},
+            "mod_3": {"data": jax.random.uniform(ks[2], (bs, 4, 6)),
+                      "masks": None},
+        }
+        return model, batch
+
+    return {"moe_dreg_k10_cdsprites_bs24": moe_dreg_k10,
+            "mopoe_polymnist_5mod_bs128": mopoe_polymnist,
+            "videogpt_sprites_moe_dreg_k5_bs16": videogpt_sprites}
+
+
+def bench_family(name: str, builder, rtt_s: float, peaks: dict) -> dict:
+    """Scan-timed throughput + MFU of one model-zoo family (same fetch-sync
+    methodology as bench_jax, fewer scan steps — these are secondary
+    curves, not the headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    scan_n = int(os.environ.get("BENCH_FAMILY_SCAN_STEPS", 100))
+    model, batch = builder()
+    state, batch, rng, raw_step = _assemble(model, batch)
+    bs = next(v["data"].shape[0] for v in batch.values()
+              if v.get("data") is not None)
+
+    mxu = None
+    try:
+        from multimodal_vae_comparison_tpu.ops.flops import mxu_flops
+        step = jax.jit(raw_step, donate_argnums=(0,))
+        mxu = mxu_flops(step, state, batch, rng)["mxu_flops"]
+    except Exception:
+        pass
+
+    def scan_steps_fn(state, batch, rng):
+        def body(s, _):
+            s, m = raw_step(s, batch, rng)
+            return s, m["loss"]
+        state, losses = jax.lax.scan(body, state, None, length=scan_n)
+        return state, jnp.sum(losses.astype(jnp.float32))
+
+    scan_steps = jax.jit(scan_steps_fn, donate_argnums=(0,))
+    state, total = scan_steps(state, batch, rng)     # compile + warmup
+    float(total)
+    t0 = time.perf_counter()
+    state, total = scan_steps(state, batch, rng)
+    float(total)
+    dt = max(time.perf_counter() - t0 - rtt_s, 1e-9)
+    step_s = dt / scan_n
+    n_chips = jax.device_count()
+    calibrated = peaks.get("calibrated_peak_flops")
+    row = {
+        "family": name,
+        "batch": bs,
+        "samples_per_s_per_chip": round(bs / step_s / n_chips, 2),
+        "step_ms_scan": round(step_s * 1e3, 3),
+        "mxu_flops_per_step": mxu,
+        "mfu_mxu_calibrated": (round(mxu / step_s / (calibrated * n_chips), 4)
+                               if (mxu and calibrated) else None),
+    }
+    return row
 
 
 def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
@@ -549,6 +666,17 @@ def main():
         scan_epoch = bench_scan_epoch(n_steps=10 if platform_note else 400)
     except Exception as e:
         scan_epoch = {"error": f"{type(e).__name__}: {e}"}
+    families = []
+    if os.environ.get("BENCH_FAMILIES", "1") != "0" and not platform_note:
+        from multimodal_vae_comparison_tpu.ops.pallas import telemetry
+        for name, builder in _family_workloads().items():
+            telemetry.reset()
+            try:
+                row = bench_family(name, builder, rtt_s, peaks)
+                row["kernel_paths"] = telemetry.summary()
+            except Exception as e:
+                row = {"family": name, "error": f"{type(e).__name__}: {e}"}
+            families.append(row)
     try:
         torch_sps = bench_torch()
     except Exception:
@@ -584,6 +712,7 @@ def main():
             "trip.  mfu_*_nominal > 1.0 fails the bench by assertion."),
         "curve": curve,
         "best": best,
+        "families": families,
         "scan_epoch": scan_epoch,
         "torch_cpu_samples_per_s": round(torch_sps, 2) if torch_sps else None,
     }
