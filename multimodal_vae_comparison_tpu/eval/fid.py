@@ -22,6 +22,19 @@ import numpy as np
 from scipy import linalg
 
 
+def active_feature_net() -> str:
+    """Name of the feature net default_feature_fn would use right now —
+    every reported FID number must carry this label (VERDICT r3 item 8):
+    only 'inception_v3' is comparable to the reference's pytorch-fid
+    numbers (fid_score.py:291-316); the VGG variants are internally
+    consistent but NOT Inception-FID."""
+    from multimodal_vae_comparison_tpu.eval import weights as W
+    if W.inception_feature_params() is not None:
+        return "inception_v3"
+    return ("vgg19_pretrained" if W.find_weights_file("vgg19")
+            else "vgg19_fixed_random")
+
+
 def default_feature_fn(seed: int = 0) -> Callable[[np.ndarray], np.ndarray]:
     """Feature extractor priority: InceptionV3 pool3 when an
     ``inception_v3`` checkpoint is installed (the reference's Inception-FID,
@@ -81,7 +94,9 @@ def calculate_fid_given_data(real: np.ndarray, generated: np.ndarray,
                              feature_fn: Optional[Callable] = None) -> float:
     """FID between two in-memory image sets, NHWC float in [0, 1]
     (reference fid_score.py:291-316)."""
-    feature_fn = feature_fn or default_feature_fn()
+    if feature_fn is None:
+        print(f"[fid] feature net: {active_feature_net()}")
+        feature_fn = default_feature_fn()
     mu1, s1 = activation_statistics(real, feature_fn)
     mu2, s2 = activation_statistics(generated, feature_fn)
     return frechet_distance(mu1, s1, mu2, s2)

@@ -271,3 +271,50 @@ def test_fid_uses_inception_when_installed(tmp_path, monkeypatch):
     fn = fid.default_feature_fn()
     feats = fn(np.random.default_rng(0).random((4, 32, 32, 3), np.float32) * 0)
     assert feats.shape == (4, 2048)
+
+
+def test_convert_inception_value_golden():
+    """VALUE-level golden check of the converter's kernel transpose and BN
+    field mapping (VERDICT r3 item 8): shape equality alone would pass a
+    wrong transpose on near-square kernels.  A deterministic ramp tensor in
+    torch OIHW layout must land at kernel[h, w, i, o] == sd[o, i, h, w]."""
+    O, I, H, Wd = 5, 4, 3, 2
+    ramp = np.arange(O * I * H * Wd, dtype=np.float32).reshape(O, I, H, Wd)
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": ramp,
+        "Conv2d_1a_3x3.bn.weight": np.arange(O, dtype=np.float32),
+        "Conv2d_1a_3x3.bn.bias": np.arange(O, dtype=np.float32) + 100,
+        "Conv2d_1a_3x3.bn.running_mean": np.arange(O, dtype=np.float32) + 200,
+        "Conv2d_1a_3x3.bn.running_var": np.arange(O, dtype=np.float32) + 300,
+        "Conv2d_1a_3x3.bn.num_batches_tracked": np.zeros((), np.int64),
+        "fc.weight": np.zeros((7, 3), np.float32),   # must be dropped
+    }
+    conv = W.convert_inception(sd)["params"]["Conv2d_1a_3x3"]
+    kern = conv["conv"]["kernel"]
+    assert kern.shape == (H, Wd, I, O)
+    for o in range(O):
+        for i in range(I):
+            for h in range(H):
+                for w in range(Wd):
+                    assert kern[h, w, i, o] == ramp[o, i, h, w]
+    np.testing.assert_array_equal(conv["bn"]["scale"], sd["Conv2d_1a_3x3.bn.weight"])
+    np.testing.assert_array_equal(conv["bn"]["bias"], sd["Conv2d_1a_3x3.bn.bias"])
+    np.testing.assert_array_equal(conv["bn"]["mean"], sd["Conv2d_1a_3x3.bn.running_mean"])
+    np.testing.assert_array_equal(conv["bn"]["var"], sd["Conv2d_1a_3x3.bn.running_var"])
+    assert "fc" not in W.convert_inception(sd)["params"]
+
+
+def test_active_feature_net_labels(tmp_path, monkeypatch):
+    """Every FID number must be attributable to the feature net that
+    produced it; the label must flip to inception_v3 exactly when an
+    inception checkpoint is installed."""
+    from multimodal_vae_comparison_tpu.eval import fid
+    monkeypatch.setenv("MVAE_TPU_WEIGHTS_DIR", str(tmp_path))
+    assert fid.active_feature_net() == "vgg19_fixed_random"
+    rng = np.random.default_rng(7)
+    sd, _ = synthetic_inception_sd(rng)
+    sd.pop("fc.weight"), sd.pop("fc.bias")
+    np.savez(tmp_path / "inception_v3.npz",
+             **{k: v for k, v in sd.items()
+                if not k.endswith("num_batches_tracked")})
+    assert fid.active_feature_net() == "inception_v3"
