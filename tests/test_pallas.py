@@ -227,3 +227,54 @@ def test_strided_sparse_self_attention_module(monkeypatch):
     out2 = mod.apply(params, x2)
     np.testing.assert_allclose(np.asarray(out2[:, :21]), np.asarray(out),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_block_sparse_layout_transpose_consistency():
+    """qv_map must be exactly the transpose of kv_map: (i attends j) in the
+    forward layout <=> (j is attended by i) in the backward layout."""
+    from multimodal_vae_comparison_tpu.ops.pallas.sparse_attention import (
+        block_sparse_layout, block_sparse_layout_T)
+    import numpy as np
+    for t, blk, stride in ((64, 8, 2), (128, 16, 4), (96, 8, 3)):
+        kv_map, n_valid = block_sparse_layout(t, blk, stride)
+        qv_map, nq_valid = block_sparse_layout_T(t, blk, stride)
+        fwd = {(i, int(kv_map[i, j]))
+               for i in range(kv_map.shape[0]) for j in range(int(n_valid[i]))}
+        bwd = {(int(qv_map[j, i]), j)
+               for j in range(qv_map.shape[0]) for i in range(int(nq_valid[j]))}
+        assert fwd == bwd
+        assert int(np.asarray(n_valid).sum()) == int(np.asarray(nq_valid).sum())
+
+
+def test_block_sparse_backward_matches_dense_multi_shape(monkeypatch):
+    """Sparse Pallas backward (dq/dk/dv kernels, interpret mode) vs the
+    dense-bias reference VJP across strides and rectangular extents."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from multimodal_vae_comparison_tpu.ops.pallas import sparse_attention
+
+    monkeypatch.setattr(sparse_attention, "_INTERPRET", True)
+    for (b, h, t, dh, blk, stride) in ((1, 2, 64, 16, 8, 2),
+                                       (2, 1, 96, 8, 8, 3)):
+        k0 = jax.random.PRNGKey(t + stride)
+        ks = jax.random.split(k0, 4)
+        q = jax.random.normal(ks[0], (b, h, t, dh))
+        k = jax.random.normal(ks[1], (b, h, t, dh))
+        v = jax.random.normal(ks[2], (b, h, t, dh))
+        ct = jax.random.normal(ks[3], (b, h, t, dh))
+
+        def f_sparse(q, k, v):
+            return jnp.vdot(ct, sparse_attention.strided_block_sparse_attention(
+                q, k, v, block=blk, block_stride=stride))
+
+        def f_dense(q, k, v):
+            return jnp.vdot(ct, sparse_attention._reference_block_sparse(
+                q, k, v, blk, stride))
+
+        gs = jax.grad(f_sparse, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, bb, name in zip(gs, gd, "q k v".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=2e-4, rtol=2e-3,
+                                       err_msg=f"d{name} t={t} stride={stride}")
