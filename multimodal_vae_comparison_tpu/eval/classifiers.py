@@ -72,6 +72,36 @@ class VideoClassifier(nn.Module):
         return nn.Dense(self.num_classes)(h)
 
 
+class FrameAttributeClassifier(nn.Module):
+    """Spatially-aware multi-head attribute judge on video frames (round 4).
+
+    The round-3 VideoClassifier judge global-mean-pools over (T, H, W)
+    before its dense head; SPRITES attributes are the colors of specific
+    body parts (hair at the top of the sprite, pants at the bottom), so
+    pooling away the spatial layout blends them — that judge calibrated at
+    64.9% per-attribute on REAL frames and capped every judged metric.
+    This judge classifies frame 0 (attributes are static across the clip)
+    through stride-2 convs and a SPATIAL flatten, preserving where each
+    color lives.  Role analog: reference frame2attributes
+    (eval_sprites.py:60-62, train_classifiers.py:12-57)."""
+
+    num_classes: int
+    heads: int = 4
+    hid_channels: int = 32
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        h = x[:, 0] if x.ndim == 5 else x        # (B, H, W, C) frame 0
+        for _ in range(4):
+            h = nn.relu(nn.Conv(self.hid_channels, (4, 4), strides=2,
+                                padding=1)(h))
+        h = h.reshape(h.shape[0], -1)            # spatial flatten, no pool
+        h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        out = nn.Dense(self.heads * self.num_classes)(h)
+        return out.reshape(out.shape[0], self.heads, self.num_classes)
+
+
 def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
                      epochs: int = 12, batch_size: int = 128, lr: float = 1e-3,
                      seed: int = 0, log_fn=None) -> Dict:

@@ -350,7 +350,9 @@ def _as_infer(obj):
                 self.model = type(self.model)(
                     specs=self.model.specs, n_latents=self.model.n_latents,
                     obj=self.model.obj, beta=self.model.beta, K=1,
-                    dtype=self.model.dtype, remat=self.model.remat)
+                    dtype=self.model.dtype, remat=self.model.remat,
+                    aux_endpoint=self.model.aux_endpoint,
+                    prior_components=self.model.prior_components)
             self.params = trainer.state.params
             self.run_dir = trainer.cfg.mPath
         forward = MultimodalVAEInfer.forward

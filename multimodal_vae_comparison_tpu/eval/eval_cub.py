@@ -76,6 +76,19 @@ def _color_labels(captions):
     return labels, valid
 
 
+def _factor_labels(captions):
+    """factor -> (class ids, valid mask) for ALL grammar factors.  One
+    caption template omits the belly clause (surrogates.py:178-182), so
+    per-factor validity is part of the contract, not an error."""
+    out = {}
+    for f, vocab in FACTORS.items():
+        table = {w: i for i, w in enumerate(vocab)}
+        words = [_word_factor(c, f) for c in captions]
+        out[f] = (np.array([table.get(w, 0) for w in words]),
+                  np.array([w != "" for w in words], bool))
+    return out
+
+
 def cub_eval(trainer_or_infer) -> Dict[str, float]:
     from multimodal_vae_comparison_tpu.eval.eval_cdsprites import (
         _as_infer, count_same_letters)
@@ -99,6 +112,30 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
         return imgs[valid].astype(np.float32), labels[valid]
 
     params = get_or_train_classifier(cache, model, data_fn, epochs=6)
+
+    # round 4 (VERDICT r3 item 9): 4-head factor judge for CdSprites-style
+    # Strict/Feats metrics — heads over (size, color, beak, belly) with 6
+    # classes each (size/beak/belly use a prefix of the class range)
+    judge4 = CNNClassifier(num_classes=len(FACTORS["color"]), heads=4)
+    cache4 = os.path.join(cache_dir, "cub_factor_judge_v1.pkl")
+
+    def data4_fn():
+        imgs, _ = exp.datamod.split_arrays(img_idx, "train")
+        tdata, tmask = exp.datamod.split_arrays(txt_idx, "train")
+        caps = text_utils.onehot2text(np.asarray(tdata), np.asarray(tmask))
+        fl = _factor_labels(caps)
+        all_valid = np.all([v for _, v in fl.values()], axis=0)
+        if all_valid.sum() < 10:
+            # degenerate caption sets (e.g. real-CUB captions without the
+            # grammar's beak clause): train on size+color-valid rows; the
+            # unparsed heads see label 0 — their real-image calibration
+            # stat exposes exactly how much that costs
+            all_valid = fl["size"][1] & fl["color"][1]
+        labels = np.stack([fl[f][0] for f in FACTORS], 1)  # (N, 4)
+        return imgs[all_valid].astype(np.float32), labels[all_valid]
+
+    params4 = get_or_train_classifier(cache4, judge4, data4_fn, epochs=12,
+                                      lr=3e-4)
     n = min(400, exp.datamod.n_val)
     batch, _ = exp.get_test_samples(n)
     gt_caps = text_utils.onehot2text(
@@ -116,14 +153,19 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
     recons = exp.cross_generate(mapping["image"],
                                 batch[mapping["image"]]["data"])
     gen_caps = text_utils.onehot2text(recons[mapping["text"]])
-    factor_hits, letters = [], []
+    factor_hits, strict_hits, letters = [], [], []
     for gt, gen in zip(gt_caps, gen_caps):
         hits = [1 if (_word_factor(gt, f) and
                       _word_factor(gt, f) == _word_factor(gen, f)) else 0
                 for f in FACTORS]
+        present = [1 if _word_factor(gt, f) else 0 for f in FACTORS]
         factor_hits.append(np.mean(hits))
+        # Strict (cdsprites analog): every factor the GT caption states must
+        # come back correct in the generated caption
+        strict_hits.append(int(sum(hits) == sum(present)))
         letters.append(count_same_letters(gen, gt) / max(len(gt), 1))
     stats["image_to_text_factors"] = float(np.mean(factor_hits))
+    stats["image_to_text_strict"] = float(np.mean(strict_hits))
     stats["image_to_text_letters"] = float(np.mean(letters))
     # caption -> image: color judge + FID vs real test images
     recons = exp.cross_generate(mapping["text"],
@@ -133,6 +175,44 @@ def cub_eval(trainer_or_infer) -> Dict[str, float]:
     pred_color = predict(model, params, gen_imgs)
     stats["text_to_image_color"] = float(
         (pred_color[gt_valid] == gt_colors[gt_valid]).mean())
+    # Strict/Feats over all 4 judged factors (per-factor validity masks)
+    gt_fl = _factor_labels(gt_caps)
+    pred4 = predict(judge4, params4, gen_imgs)           # (N, 4) classes
+    # judge calibration per factor on held-out REAL images
+    real_imgs = np.asarray(batch[mapping["image"]]["data"])
+    pred4_real = predict(judge4, params4, real_imgs)
+    hit = np.zeros_like(pred4, bool)
+    valid = np.zeros_like(pred4, bool)
+    for fi, f in enumerate(FACTORS):
+        labels, v = gt_fl[f]
+        valid[:, fi] = v
+        hit[:, fi] = pred4[:, fi] == labels
+        stats[f"judge4_{f}_accuracy_real"] = float(
+            (pred4_real[v, fi] == labels[v]).mean())
+    feats = np.where(valid, hit, False).sum(1) / np.maximum(valid.sum(1), 1)
+    stats["text_to_image_feats"] = float(feats.mean())
+    stats["text_to_image_strict"] = float(
+        (np.where(valid, hit, True).all(1)).mean())
+    # joint generation (prior protocol): decode caption+image from the same
+    # prior z; a sample counts Strict when the caption parses (>= 3 of 4
+    # factors — one template legitimately omits the belly) and the judged
+    # image agrees on every parsed factor
+    gen = exp.joint_generate(len(gt_caps), seed=0)
+    j_caps = text_utils.onehot2text(gen[mapping["text"]])
+    j_imgs = np.clip(np.asarray(gen[mapping["image"]]), 0, 1)
+    j_fl = _factor_labels(j_caps)
+    j_pred = predict(judge4, params4, j_imgs)
+    j_hit = np.zeros_like(j_pred, bool)
+    j_valid = np.zeros_like(j_pred, bool)
+    for fi, f in enumerate(FACTORS):
+        labels, v = j_fl[f]
+        j_valid[:, fi] = v
+        j_hit[:, fi] = j_pred[:, fi] == labels
+    j_feats = (np.where(j_valid, j_hit, False).sum(1)
+               / np.maximum(j_valid.sum(1), 1))
+    stats["joint_feats"] = float(j_feats.mean())
+    stats["joint_strict"] = float(np.mean(
+        (j_valid.sum(1) >= 3) & np.where(j_valid, j_hit, True).all(1)))
     try:
         from multimodal_vae_comparison_tpu.eval.fid import (
             calculate_fid_given_data)

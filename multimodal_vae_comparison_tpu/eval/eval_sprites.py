@@ -48,8 +48,12 @@ def _attribute_classifier(exp, cache_dir):
     """4-head judge over (skin, pants, top, hair), 6 classes each — the
     frame2attributes role (reference eval_sprites.py:60-62)."""
     mapping = _mods_by_type(exp)
-    model = VideoClassifier(num_classes=6, heads=4, hidden=48)
-    cache = os.path.join(cache_dir, "sprites_att_clf_v3.pkl")
+    # round 4: spatial-flatten frame judge — the mean-pooled VideoClassifier
+    # capped calibration at 64.9% (see FrameAttributeClassifier docstring)
+    from multimodal_vae_comparison_tpu.eval.classifiers import (
+        FrameAttributeClassifier)
+    model = FrameAttributeClassifier(num_classes=6, heads=4)
+    cache = os.path.join(cache_dir, "sprites_att_clf_v4.pkl")
 
     def data_fn():
         frames = _frames_train_data(exp, mapping)

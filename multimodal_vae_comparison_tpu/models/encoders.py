@@ -130,6 +130,47 @@ class Enc_CNNCoord(VaeEncoder):
         return self.head(h)
 
 
+class Enc_CNNSpatial(VaeEncoder):
+    """Conv trunk + SPATIAL-SOFTMAX (soft-argmax) keypoint head (round 4).
+
+    New TPU-side encoder, no reference counterpart.  Diagnosis that
+    motivates it: on VILANRO the CoordConv/plain conv encoders MEMORIZE
+    geometry (aux endpoint-head train RMSE 4 cm vs val 19.5 cm = chance on
+    vilanro_r4_cond) — flattened conv features let a dense layer key on
+    scene-specific texture instead of extracting coordinates.  Spatial
+    softmax (Levine et al. 2016, end-to-end visuomotor policies) reduces
+    each feature map to the (x, y) expectation of its activation
+    distribution, so position is read out *structurally* and generalizes
+    across scenes by construction.  The keypoint coordinates (plus per-map
+    mean activation as a presence feature) feed the mu/scale head."""
+
+    hid_channels: int = 32
+    n_maps: int = 32
+    hidden_dim: int = 256
+    # softmax temperature over space; learnable via param below
+
+    @nn.compact
+    def __call__(self, data, mask=None, train: bool = False):
+        h = data
+        for _ in range(3):                       # 64 -> 32 -> 16 -> 8
+            h = nn.silu(nn.Conv(self.hid_channels, (4, 4), strides=2,
+                                padding=1, dtype=self.dtype)(h))
+        h = nn.Conv(self.n_maps, (3, 3), padding=1, dtype=self.dtype)(h)
+        b, hh, ww, c = h.shape
+        temp = self.param("ss_log_temp", nn.initializers.zeros, (1,))
+        logits = (h.astype(jnp.float32)
+                  * jnp.exp(temp)).reshape(b, hh * ww, c)
+        attn = jax.nn.softmax(logits, axis=1).reshape(b, hh, ww, c)
+        ys = jnp.linspace(-1.0, 1.0, hh)[None, :, None, None]
+        xs = jnp.linspace(-1.0, 1.0, ww)[None, None, :, None]
+        ky = jnp.sum(attn * ys, axis=(1, 2))     # (B, C) expected y
+        kx = jnp.sum(attn * xs, axis=(1, 2))     # (B, C) expected x
+        presence = jnp.mean(h.astype(jnp.float32), axis=(1, 2))
+        feats = jnp.concatenate([kx, ky, presence], axis=-1).astype(self.dtype)
+        g = nn.silu(nn.Dense(self.hidden_dim, dtype=self.dtype)(feats))
+        return self.head(g)
+
+
 class Enc_MNIST(VaeEncoder):
     """2-layer MLP MNIST encoder (reference encoders.py:226-265)."""
 
@@ -403,6 +444,7 @@ ENCODERS = {
     "VIT": Enc_VIT,
     "CNN2": Enc_CNN2,
     "CNNCoord": Enc_CNNCoord,
+    "CNNSpatial": Enc_CNNSpatial,
     "MNIST": Enc_MNIST,
     "MNISTMoE": Enc_MNISTMoE,
     "RESCNN": Enc_RESCNN,
