@@ -29,6 +29,7 @@ _MOD_DEFAULTS = {
     "prior": "normal",
     "test_datapath": None,
     "cond_on": None,
+    "cond_always": False,
 }
 
 # required in every YAML; also CLI-overridable even when absent from it
@@ -87,6 +88,11 @@ class ModalityConfig:
     # (value: the other modality's mod_type or mod_n name); requires a
     # cond-aware decoder such as TransformerCond
     cond_on: Optional[str] = None
+    # supply the conditioning on EVERY subset objective whenever the batch
+    # carries the data (conditional-VAE semantics: the cond modality is an
+    # observed variable).  Default False = only when the cond modality is
+    # in the subset (leak-safe joint-VAE semantics)
+    cond_always: bool = False
     # filled in by the data module from the dataset class
     feature_dims: Optional[List[int]] = None
 

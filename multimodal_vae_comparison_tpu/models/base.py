@@ -51,6 +51,13 @@ class ModalitySpec:
     # action decoding on VILANRO where the instruction must steer the
     # generated trajectory (reference vilanro_test.py:277-346 protocol).
     cond_on: Optional[str] = None
+    # supply cond on every subset whenever the batch has the data
+    # (conditional-VAE semantics) — measured motivation: with subset-gated
+    # conditioning the trained decoder IGNORES the instruction
+    # (flip_endpoint_shift 1 cm on vilanro_r4_cond) because the {img,lang}
+    # subset's z already carries the goal; conditioning the {img}-only
+    # subset forces the cross-attention to do the selection
+    cond_always: bool = False
 
     @property
     def batch_ndims(self) -> int:
@@ -82,6 +89,7 @@ def build_specs(cfg) -> Tuple[ModalitySpec, ...]:
             private_latents=m.private_latents,
             has_masks=m.mod_type in ("text", "language", "actions", "sequence"),
             cond_on=cond,
+            cond_always=bool(getattr(m, "cond_always", False)),
         ))
     return tuple(specs)
 
@@ -265,9 +273,13 @@ class MMVAE(nn.Module):
 
         Conditioning is only active when the conditioning modality is in
         ``present`` — a subset objective that excludes it must not leak its
-        data through the decoder."""
+        data through the decoder — unless the spec opts into
+        ``cond_always`` (conditional-VAE semantics: the cond modality is an
+        observed variable on every subset)."""
         spec = self.spec(name)
-        if spec.cond_on is None or spec.cond_on not in present:
+        if spec.cond_on is None:
+            return None
+        if not (spec.cond_always or spec.cond_on in present):
             return None
         mod = batch.get(spec.cond_on)
         if mod is None or mod.get("data") is None:

@@ -129,3 +129,40 @@ def test_aux_endpoint_skips_action_subset(way_data, tmp_path):
         lambda a, b: a + jnp.abs(b).sum(), grads["params"]["enc_mod_3"], 0.0)
     assert float(g_act_enc) == 0.0
     assert float(g_img_enc) > 0.0
+
+
+def test_cond_always_supplies_cond_on_condless_subsets():
+    """cond_always=True: the decoder receives the conditioning data even on
+    subsets that exclude the conditioning modality (the {img}-only subset is
+    where the decoder is FORCED to read the instruction); default stays
+    leak-safe."""
+    import jax.numpy as jnp
+    from multimodal_vae_comparison_tpu.models import get_mixing
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+
+    def specs(always):
+        return (
+            ModalitySpec(name="mod_1", encoder="TxtTransformer",
+                         decoder="TxtTransformer", feature_dims=(5, 9),
+                         mod_type="language", recon_loss="category_ce",
+                         has_masks=True),
+            ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                         feature_dims=(6,), mod_type="actions",
+                         recon_loss="mse", cond_on="mod_1",
+                         cond_always=always),
+        )
+
+    batch = {
+        "mod_1": {"data": jnp.zeros((2, 5, 9)), "masks": jnp.ones((2, 5), bool)},
+        "mod_2": {"data": jnp.zeros((2, 6)), "masks": None},
+    }
+    for always, expect in ((False, None), (True, "tuple")):
+        model = get_mixing("poe")(specs=specs(always), n_latents=4)
+        got = model._cond_for("mod_2", batch, present=("mod_2",))
+        if expect is None:
+            assert got is None
+        else:
+            assert got is not None and got[0].shape == (2, 5, 9)
+        # with the cond modality present, both modes supply it
+        assert model._cond_for("mod_2", batch,
+                               present=("mod_1", "mod_2")) is not None
