@@ -205,8 +205,17 @@ def bench_sparse(results):
             sparse_attention._reference_block_sparse,
             block=blk, block_stride=stride)
         row = {"shape": f"{name}_B{B}xH{H}xT{T}xD{Dh}_blk{blk}s{stride}"}
+        # force each path explicitly (the dispatcher's T-threshold would
+        # otherwise silently route both rows through the same code)
+        os.environ["MMVAE_TPU_SPARSE_PALLAS"] = "1"
         row["fwd_pallas_us"] = round(time_scan(pallas_fn, q, kk, v) * 1e6, 1)
+        # round 4: fwd+bwd — the sparse backward kernels vs the dense VJP
+        row["fwdbwd_pallas_us"] = round(
+            time_scan(grad_of(pallas_fn, (0, 1, 2)), q, kk, v) * 1e6, 1)
+        os.environ.pop("MMVAE_TPU_SPARSE_PALLAS", None)
         row["fwd_dense_us"] = round(time_scan(dense_fn, q, kk, v) * 1e6, 1)
+        row["fwdbwd_dense_us"] = round(
+            time_scan(grad_of(dense_fn, (0, 1, 2)), q, kk, v) * 1e6, 1)
         results.setdefault("sparse_attention", []).append(row)
 
 
