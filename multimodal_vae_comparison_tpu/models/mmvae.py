@@ -91,12 +91,11 @@ class MOE(MMVAE):
         return VAEOutput(mods=mods)
 
     def objective(self, batch):
-        present = self.mod_names
         if self.obj in ("elbo", "elbo_iw"):
-            return self._objective_elbo(batch, self.forward(batch, present))
+            return self._objective_elbo(batch)
         return self._objective_kweighted(batch)
 
-    def _objective_elbo(self, batch, out: VAEOutput):
+    def _objective_elbo(self, batch):
         """Canonical MMVAE mixture ELBO (m_elbo_naive of
         https://github.com/iffsid/mmvae):
 
@@ -104,6 +103,12 @@ class MOE(MMVAE):
 
         — every decoder trains on every modality's samples with unit weight,
         which is what aligns the shared space for cross-generation.
+
+        TPU-first restructure (round 4): the cross-reconstruction matrix is
+        M*M decoder applications; instead of M*M dispatches at batch K*B
+        (forward()'s wiring — kept for eval), all M source samples stack
+        along the folded K axis and each decoder runs ONCE at batch M*K*B.
+        Identical math and RNG draw order; M-fold larger matmuls.
 
         Documented fix: the reference weights the cross terms by
         exp(log q_r(z_o) - log q_o(z_o)) (mmvae_models.py:52-62); with the
@@ -113,26 +118,42 @@ class MOE(MMVAE):
         importance-weighted variant remains available as obj 'elbo_iw'.
         """
         weighted = self.obj == "elbo_iw"
-        lpx_terms, klds, rec_per_mod = [], [], {}
+        present = self.mod_names
+        qz_params = self.encode(batch, present)
+        qzs, zs = {}, {}
+        for spec in self.specs:   # same make_rng order as forward()
+            qz, z = self.sample_posterior(spec, qz_params[spec.name]["shared"],
+                                          self.make_rng("sample"))
+            qzs[spec.name], zs[spec.name] = qz, z
+        M = len(self.specs)
+        z_all = jnp.concatenate([zs[n] for n in self.mod_names], axis=0)
+        lpx_by_tgt = {}                                     # name -> (M, K, B)
         for spec in self.specs:
-            mo = out.mods[spec.name]
-            qz = mo.encoder_dist
-            kld = (self.kld_to_prior(qz, mo.latents)
+            dec = self.decode_mod(spec.name, z_all, _mask_of(batch, spec.name),
+                                  cond=self._cond_for(spec.name, batch, present))
+            lpx = self.recon_lpx(spec, dec, batch)          # (M*K, B)
+            lpx_by_tgt[spec.name] = lpx.reshape((M, self.K) + lpx.shape[1:])
+        lpx_terms, klds, rec_per_mod = [], [], {}
+        for i, spec in enumerate(self.specs):
+            qz = qzs[spec.name]
+            kld = (self.kld_to_prior(qz, zs[spec.name])
                    if self.prior_components > 1 else self.kld_std(spec, qz))
             klds.append(kld)
-            lpx_own = self.recon_lpx(spec, mo.decoder_dist, batch)
+            lpx_own = lpx_by_tgt[spec.name][i]
             # metric convention (shared with POE/MoPoE/DMVAE): K-averaged,
             # llik_scaling divided out, batch-summed
             rec_per_mod[spec.name] = (-jnp.sum(_kmean(lpx_own))
                                       / spec.llik_scaling)
             lpx_terms.append(lpx_own)
-            for other, cross_dist in mo.cross_decoder_dist.items():
-                lpx_cross = self.recon_lpx(spec, cross_dist, batch)
+            for j, other in enumerate(self.mod_names):
+                if other == spec.name:
+                    continue
+                lpx_cross = lpx_by_tgt[spec.name][j]
                 if weighted:
-                    z_o = jax.lax.stop_gradient(out.mods[other].latents)
+                    z_o = jax.lax.stop_gradient(zs[other])
                     lq_self = jnp.nan_to_num(qz.log_prob(z_o), nan=0.0).sum(-1)
                     lq_other = jax.lax.stop_gradient(
-                        out.mods[other].encoder_dist.log_prob(z_o).sum(-1))
+                        qzs[other].log_prob(z_o).sum(-1))
                     lpx_cross = jnp.exp(lq_self - lq_other) * lpx_cross
                 lpx_terms.append(lpx_cross)
         lpx = jnp.stack([_kmean(t) for t in lpx_terms])
@@ -165,9 +186,25 @@ class MOE(MMVAE):
             qzs[spec.name], zs[spec.name] = qz, z
         rec_per_mod = {}
 
+        M = len(self.specs)
+
         def log_weights(zs_dict):
+            # lattice-batched decoding (round 4): all M sources' samples
+            # stack along the folded K axis; each decoder dispatches ONCE at
+            # batch M*K*B instead of M times at K*B — identical math,
+            # M-fold larger matmuls for the MXU
+            z_all = jnp.concatenate([zs_dict[n] for n in self.mod_names],
+                                    axis=0)                   # (M*K, B, D)
+            lpx_by_tgt = {}                                   # -> (M, K, B)
+            for tgt in self.mod_names:
+                dec = self.decode_mod(tgt, z_all, _mask_of(batch, tgt),
+                                      cond=self._cond_for(
+                                          tgt, batch, self.mod_names))
+                lpx_t = self.recon_lpx(self.spec(tgt), dec, batch)
+                lpx_by_tgt[tgt] = lpx_t.reshape(
+                    (M, self.K) + lpx_t.shape[1:])
             lws = []
-            for spec in self.specs:
+            for i, spec in enumerate(self.specs):
                 z_r = zs_dict[spec.name]                      # (K, B, D)
                 lpz = log_prob_joint(pz, z_r)
                 q_terms = []
@@ -177,13 +214,10 @@ class MOE(MMVAE):
                         q = jax.tree_util.tree_map(jax.lax.stop_gradient, q)
                     q_terms.append(q.log_prob(z_r).sum(-1))
                 lqz = log_mean_exp(jnp.stack(q_terms), axis=0)
-                # decode *all* modalities from z_r: own + crosses
+                # reconstruct *all* modalities from z_r: own + crosses
                 lpx_all = None
                 for tgt in self.mod_names:
-                    dec = self.decode_mod(tgt, z_r, _mask_of(batch, tgt),
-                                          cond=self._cond_for(
-                                              tgt, batch, self.mod_names))
-                    lpx_t = self.recon_lpx(self.spec(tgt), dec, batch)
+                    lpx_t = lpx_by_tgt[tgt][i]
                     if tgt == spec.name:
                         rec_per_mod[spec.name] = (-jnp.sum(_kmean(lpx_t))
                                                   / self.spec(tgt).llik_scaling)
@@ -245,23 +279,61 @@ class POE(MMVAE):
         return VAEOutput(mods=mods)
 
     def objective(self, batch):
+        """Subset-lattice ELBO with lattice-batched decoding.
+
+        TPU-first restructure (round 4, VERDICT item 2): the naive loop
+        decodes each modality once per subset — S*M decoder dispatches at
+        batch K*B, which starves the MXU at the reference's bs=24 envelope
+        (the conv matmuls are 128-lane-padded and tiny).  Here every
+        subset's samples are stacked along the already-folded K axis and
+        each decoder runs ONCE on a (S*K, B) batch — identical math and
+        identical per-subset RNG draws (same make_rng order as the old
+        per-subset forward loop), S-fold larger matmuls.  Encoding happens
+        once instead of once per subset (XLA CSEd the duplicates at runtime,
+        but the jaxpr-walking MXU-FLOP counter double-counted them).
+        """
         self._check_priors()
         lattice = subset_lattice(len(self.specs))
-        pz = self.pz()
+        S = len(lattice)
+        presents = [tuple(self.specs[i].name for i in subset)
+                    for subset in lattice]
+        qz_params = self.encode(batch, self.mod_names)
+        joints, z_subs = [], []
+        for present in presents:
+            mu, scale = self.mix(qz_params, present)
+            joint = Normal(mu, scale)
+            joints.append(joint)
+            z_subs.append(joint.rsample(self.make_rng("sample"), (self.K,)))
+        z_all = jnp.concatenate(z_subs, axis=0)            # (S*K, B, D)
+        # (S, B) K-averaged recon log-prob per modality; one decoder
+        # dispatch per modality unless its conditioning varies by subset
+        lpx_sub = {}
+        for spec in self.specs:
+            mask = _mask_of(batch, spec.name)
+            conds = [self._cond_for(spec.name, batch, p) for p in presents]
+            if all(c is None for c in conds) or all(
+                    c is not None and c is conds[0] for c in conds) or (
+                    spec.cond_on is not None and spec.cond_always
+                    and all(c is not None for c in conds)):
+                dec = self.decode_mod(spec.name, z_all, mask, cond=conds[0])
+                lpx = self.recon_lpx(spec, dec, batch)     # (S*K, B)
+                lpx_sub[spec.name] = lpx.reshape(
+                    (S, self.K) + lpx.shape[1:]).mean(axis=1)
+            else:  # subset-dependent conditioning: per-subset decode
+                lpx_sub[spec.name] = jnp.stack([
+                    _kmean(self.recon_lpx(spec, self.decode_mod(
+                        spec.name, z_subs[s], mask, cond=conds[s]), batch))
+                    for s in range(S)])
         total = jnp.zeros(())
         total_kld = jnp.zeros(())
         rec_per_mod = {s.name: jnp.zeros(()) for s in self.specs}
         aux_spec = self.endpoint_spec() if self.aux_endpoint > 0 else None
         aux_metrics = {}
-        for subset in lattice:
-            present = tuple(self.specs[i].name for i in subset)
-            out = self.forward(batch, present)
-            any_mod = out.mods[self.mod_names[0]]
-            kld = self.kld_to_prior(any_mod.joint_dist, any_mod.latents)
+        for s, present in enumerate(presents):
+            kld = self.kld_to_prior(joints[s], z_subs[s])
             lpx_sum = jnp.zeros(())
             for spec in self.specs:
-                lpx = _kmean(self.recon_lpx(
-                    spec, out.mods[spec.name].decoder_dist, batch))
+                lpx = lpx_sub[spec.name][s]
                 lpx_sum = lpx_sum + jnp.sum(lpx)
                 if len(present) == 1 and present[0] == spec.name:
                     rec_per_mod[spec.name] = -jnp.sum(lpx) / spec.llik_scaling
@@ -273,8 +345,7 @@ class POE(MMVAE):
             # the action expert, which trivially encodes its own endpoint
             if (aux_spec is not None and aux_spec.name not in present
                     and len(present) == len(self.specs) - 1):
-                aux_term, aux_mse = self.aux_endpoint_loss(any_mod.latents,
-                                                           batch)
+                aux_term, aux_mse = self.aux_endpoint_loss(z_subs[s], batch)
                 total = total + aux_term
                 aux_metrics["aux_endpoint_mse"] = aux_mse
         metrics = {"kld": total_kld / len(lattice), **aux_metrics,
