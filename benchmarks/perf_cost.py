@@ -21,7 +21,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCAN = int(os.environ.get("DIAG_SCAN_STEPS", 100))
+SCAN = int(os.environ.get("DIAG_SCAN_STEPS", 100))        # perf_diag programs
+SCAN_FULL = int(os.environ.get("BENCH_SCAN_STEPS", 300))  # bench.py programs
 BATCHES = [int(b) for b in
            os.environ.get("DIAG_BATCHES", "24,256,1024,4096").split(",")]
 SEQ = 45
@@ -47,13 +48,21 @@ def main():
     enable_compilation_cache()
     import bench as B
 
-    # measured step times from the perf_diag run (ms), for the summary join
-    diag_path = os.environ.get("DIAG_JSON", "/tmp/perf_diag.json")
+    # measured step times (ms): perf_diag rows for the component programs,
+    # the bench curve (same 300-step scan program) for the full step
     measured = {}
+    diag_path = os.environ.get("DIAG_JSON", "/tmp/perf_diag.json")
     if os.path.exists(diag_path):
         for r in json.load(open(diag_path))["rows"]:
             if "step_ms" in r:
                 measured[(r["component"], r["batch"])] = r["step_ms"]
+    bench_path = os.environ.get("BENCH_JSON", "")
+    if bench_path and os.path.exists(bench_path):
+        bj = json.load(open(bench_path))
+        for r in (bj.get("curve") or bj.get("value_detail", {}).get("curve")
+                  or []):
+            if "step_ms_scan" in r:
+                measured[("full", r["batch"])] = r["step_ms_scan"]
 
     rows = []
     for bs in BATCHES:
@@ -66,13 +75,13 @@ def main():
                             dtype=B._compute_dtype(), remat=model.remat)
         params = state.params
 
-        def emit(name, compiled):
+        def emit(name, compiled, scan_len=SCAN):
             c = _cost(compiled)
             ms = measured.get((name, bs))
             row = {"component": name, "batch": bs,
-                   "flops_per_step": c["flops"] / SCAN,
-                   "bytes_per_step": c["bytes"] / SCAN,
-                   "transc_per_step": c["transcendentals"] / SCAN}
+                   "flops_per_step": c["flops"] / scan_len,
+                   "bytes_per_step": c["bytes"] / scan_len,
+                   "transc_per_step": c["transcendentals"] / scan_len}
             if ms:
                 s = ms / 1e3
                 row["step_ms"] = ms
@@ -85,15 +94,16 @@ def main():
             rows.append(row)
             print(json.dumps(row), flush=True)
 
-        # --- full train step (bench.py's headline scan program) ---
+        # --- full train step (bench.py's headline scan program, same
+        # length => persistent-cache hit from the bench run) ---
         def scan_fn(state, batch, rng):
             def body(s, _):
                 s, m = raw_step(s, batch, rng)
                 return s, m["loss"]
-            st, losses = jax.lax.scan(body, state, None, length=SCAN)
+            st, losses = jax.lax.scan(body, state, None, length=SCAN_FULL)
             return st, jnp.sum(losses.astype(jnp.float32))
         emit("full", jax.jit(scan_fn, donate_argnums=(0,))
-             .lower(state, batch, rng).compile())
+             .lower(state, batch, rng).compile(), scan_len=SCAN_FULL)
 
         # --- fwd objective (perf_diag's fwd program) ---
         def fwd_body(c):
