@@ -346,15 +346,16 @@ def _sparse_forward_with_lse(q, k, v, block, block_stride):
     if not on_tpu:
         telemetry.record("sparse_attention", "jnp", note="not on TPU")
         return _reference_block_sparse(q, k, v, block, block_stride), None
-    # Round-3 A/B (benchmarks/kernels_ab.py, TPU v5e): the dense-bias path
-    # wins up to T=2048 (65 us vs 98 us) — XLA's fused dense attention beats
-    # the kernel while everything fits comfortably; the Pallas kernel wins
-    # 3.5x at T=4096 (169 us vs 595 us) where skipping masked blocks pays.
-    # Crossover between 2048 and 4096; threshold at 4096, override with
+    # Round-4 fwd+bwd A/B (benchmarks/kernels_ab.py sparse, TPU v5e,
+    # /tmp/kernels_ab_sparse_r4.json -> docs/performance.md): with the Pallas
+    # backward landed, the kernel wins the TRAINING path from T=2048
+    # (234 us vs 350 us fwd+bwd; 4.5x at T=4096: 419 us vs 1894 us) and
+    # still loses at T=512 (66 us vs 8 us) where XLA's fused dense attention
+    # fits comfortably.  Threshold at 2048, override with
     # MMVAE_TPU_SPARSE_PALLAS=1/0.
     force = os.environ.get("MMVAE_TPU_SPARSE_PALLAS")
     use_pallas = (force == "1" or _INTERPRET
-                  or (force != "0" and t >= 4096))
+                  or (force != "0" and t >= 2048))
     if not use_pallas:
         telemetry.record("sparse_attention", "jnp",
                          note=f"A/B default: dense bias wins at T={t}")
