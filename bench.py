@@ -163,9 +163,11 @@ def _assemble(model, batch):
     from multimodal_vae_comparison_tpu.training.trainer import (
         TrainState, make_train_step)
 
+    remat = (model.remat if os.environ.get("BENCH_REMAT") is None
+             else os.environ["BENCH_REMAT"] == "1")
     model = type(model)(specs=model.specs, n_latents=model.n_latents,
                         obj=model.obj, beta=model.beta, K=model.K,
-                        dtype=_compute_dtype(), remat=model.remat)
+                        dtype=_compute_dtype(), remat=remat)
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng, "sample": rng}, batch,
                         method=model.objective)

@@ -23,6 +23,10 @@ import numpy as np
 from flax import linen as nn
 
 from multimodal_vae_comparison_tpu.constants import DEC_SCALE, ETA
+
+# logit(1 - ETA): clipping logits to ±this bound == clipping sigmoid(x) to
+# [ETA, 1-ETA] (see VaeDecoder.squash_dist)
+_LOGIT_BOUND = float(np.log((1.0 - ETA) / ETA))
 from multimodal_vae_comparison_tpu.models import nets
 from multimodal_vae_comparison_tpu.models.nets import (
     AttentionResidualBlock, ConvTranspose2dTorch, Dtype, ResUp,
@@ -50,6 +54,22 @@ class VaeDecoder(nn.Module):
     def squash(x: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(jax.nn.sigmoid(x.astype(jnp.float32)), ETA, 1.0 - ETA)
 
+    def squash_dist(self, h: jnp.ndarray, b: int):
+        """(mean, scale, clipped_logits) in the COMPUTE dtype.
+
+        The eta clamp is applied in logit space — ``sigmoid(clip(x, ±B))``
+        with ``B = logit(1-eta)`` equals ``clip(sigmoid(x), eta, 1-eta)``
+        exactly (sigmoid is monotone) — and the clipped logits ride along so
+        ``objectives.bce`` can use the stable softplus form.  Measured
+        motivation (round 4, docs/performance.md): the old fp32 upcast
+        materialized fp32 image-size buffers in the loss chain and made the
+        bs>=256 train step HBM-bandwidth-bound; in bf16 the naive
+        ``log1p(-p)`` would hit -inf because 1-1e-6 rounds to 1.0, which is
+        why the clip moves to logit space and the loss to logits."""
+        x = jnp.clip(h, -_LOGIT_BOUND, _LOGIT_BOUND).reshape(b, *self.data_dim)
+        mean = jax.nn.sigmoid(x)
+        return mean, self.scale_like(mean), x
+
 
 class Dec_CNN(VaeDecoder):
     """MLP + 4x transposed-conv decoder to 64x64x3
@@ -68,8 +88,7 @@ class Dec_CNN(VaeDecoder):
         for _ in range(3):
             h = nn.relu(ConvTranspose2dTorch(self.hid_channels, dtype=self.dtype)(h))
         h = ConvTranspose2dTorch(3, dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_SVHN(VaeDecoder):
@@ -85,8 +104,7 @@ class Dec_SVHN(VaeDecoder):
         for feat in (64, 32):
             h = nn.relu(ConvTranspose2dTorch(feat, dtype=self.dtype)(h))
         h = ConvTranspose2dTorch(3, dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_SVHN2(VaeDecoder):
@@ -103,8 +121,7 @@ class Dec_SVHN2(VaeDecoder):
         h = nn.relu(ConvTranspose2dTorch(self.fBase * 2, dtype=self.dtype)(h))
         h = nn.relu(ConvTranspose2dTorch(self.fBase, dtype=self.dtype)(h))
         h = ConvTranspose2dTorch(3, dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_MNIST(VaeDecoder):
@@ -118,8 +135,7 @@ class Dec_MNIST(VaeDecoder):
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(z))
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(h))
         h = nn.Dense(int(np.prod(self.data_dim)), dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_MNIST2(VaeDecoder):
@@ -132,8 +148,7 @@ class Dec_MNIST2(VaeDecoder):
         b = z.shape[0]
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(z))
         h = nn.Dense(int(np.prod(self.data_dim)), dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_PolyMNIST(VaeDecoder):
@@ -150,8 +165,7 @@ class Dec_PolyMNIST(VaeDecoder):
         h = nn.ConvTranspose(3, (3, 3), strides=(2, 2), padding="SAME",
                              dtype=self.dtype)(h)
         # 4 -> 8 -> 16 -> 32, center-crop to 28x28
-        mean = self.squash(h[:, 2:30, 2:30, :]).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h[:, 2:30, 2:30, :], b)
 
 
 class Dec_RESCNN(VaeDecoder):
@@ -167,8 +181,7 @@ class Dec_RESCNN(VaeDecoder):
         for mult in (8, 4, 2, 1):
             h = ResUp(self.ch * mult, dtype=self.dtype)(h, train)
         h = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 class Dec_FNN(VaeDecoder):
@@ -181,8 +194,7 @@ class Dec_FNN(VaeDecoder):
         b = z.shape[0]
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(z))
         h = nn.Dense(int(np.prod(self.data_dim)), dtype=self.dtype)(h)
-        mean = self.squash(h).reshape(b, *self.data_dim)
-        return mean, self.scale_like(mean)
+        return self.squash_dist(h, b)
 
 
 def _time_query_decode(z, mask, seq_len, d_model, num_layers, num_heads,

@@ -22,7 +22,7 @@ Conventions (deliberate, documented fixes of reference quirks):
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,11 @@ class Distribution:
 class Normal(Distribution):
     loc: jnp.ndarray
     scale: jnp.ndarray
+    # optional pre-sigmoid logits of ``loc`` when it is a squashed image
+    # mean (VaeDecoder.squash_dist): lets objectives.bce use the stable
+    # softplus-from-logits form, which stays finite in bf16 where the
+    # probability-space eta clamp rounds away (1 - 1e-6 == 1 in bf16)
+    loc_logits: Optional[jnp.ndarray] = None
 
     @property
     def mean(self):

@@ -57,11 +57,26 @@ def _apply_mask(loss_elem: jnp.ndarray, mask: Optional[jnp.ndarray],
 # ---------------------------------------------------------------------------
 
 def bce(dist, target, mask=None, batch_ndims=1):
-    """Bernoulli log-likelihood of targets under dist.mean (reference 'bce')."""
-    p = jnp.clip(dist.mean, ETA, 1.0 - ETA)
-    ll = target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p)
+    """Bernoulli log-likelihood of targets under dist.mean (reference 'bce').
+
+    When the decoder provides eta-clipped logits (``dist.loc_logits``,
+    VaeDecoder.squash_dist) the stable softplus form runs instead:
+    ``t*log(sigmoid(x)) + (1-t)*log(sigmoid(-x))`` — mathematically identical
+    to the probability form over ``clip(sigmoid(x), eta, 1-eta)``, but it
+    stays finite in bf16 (where 1-eta rounds to 1.0 and ``log1p(-p)`` would
+    be -inf) and keeps the whole elementwise chain in the compute dtype —
+    the round-4 fix for the HBM-bound bs>=256 train step
+    (docs/performance.md)."""
+    x = getattr(dist, "loc_logits", None)
+    if x is not None:
+        t = target.astype(x.dtype)
+        ll = -(t * jax.nn.softplus(-x) + (1.0 - t) * jax.nn.softplus(x))
+    else:
+        p = jnp.clip(dist.mean, ETA, 1.0 - ETA)
+        t = target.astype(p.dtype)
+        ll = t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p)
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def lprob(dist, target, mask=None, batch_ndims=1):
@@ -69,19 +84,19 @@ def lprob(dist, target, mask=None, batch_ndims=1):
     ll = dist.log_prob(target)
     ll = jnp.nan_to_num(ll, nan=0.0)
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def l1(dist, target, mask=None, batch_ndims=1):
-    ll = -jnp.abs(dist.mean - target)
+    ll = -jnp.abs(dist.mean - target.astype(dist.mean.dtype))
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def mse(dist, target, mask=None, batch_ndims=1):
-    ll = -jnp.square(dist.mean - target)
+    ll = -jnp.square(dist.mean - target.astype(dist.mean.dtype))
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def category_ce(dist, target, mask=None, batch_ndims=1):
@@ -92,9 +107,10 @@ def category_ce(dist, target, mask=None, batch_ndims=1):
     proper categorical log-likelihood.
     """
     logp = jax.nn.log_softmax(dist.mean, axis=-1)
-    ll = jnp.sum(target * logp, axis=-1)
+    ll = jnp.sum(target.astype(logp.dtype) * logp, axis=-1,
+                 dtype=jnp.float32)
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def softclip(x, low):
@@ -117,7 +133,7 @@ def optimal_sigma(dist, target, mask=None, batch_ndims=1):
     log_sigma = softclip(log_sigma, -6.0)
     ll = -(0.5 * err2 / jnp.exp(2.0 * log_sigma) + log_sigma + 0.5 * LOG2PI)
     ll = _apply_mask(ll, mask, batch_ndims)
-    return _flatten_features(ll, batch_ndims).sum(-1)
+    return _flatten_features(ll, batch_ndims).sum(-1, dtype=jnp.float32)
 
 
 def feature_loss(dist, target, mask=None, batch_ndims=1):

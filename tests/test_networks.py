@@ -80,9 +80,14 @@ def test_decoder_shapes(name):
     if name in ("Transformer", "TxtTransformer", "TransformerIMG"):
         mask = jnp.ones((B, shape[0]), dtype=bool)
     params = dec.init(jax.random.PRNGKey(0), z, mask)
-    mean, scale = dec.apply(params, z, mask)
+    out = dec.apply(params, z, mask)
+    # image decoders additionally return eta-clipped logits (squash_dist)
+    mean, scale = out[0], out[1]
     assert mean.shape == (B,) + shape, f"{name}: {mean.shape} != {(B,) + shape}"
     assert float(scale) == pytest.approx(0.75)
+    if len(out) > 2:
+        np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(out[2])),
+                                   np.asarray(mean), atol=1e-6)
 
 
 def test_decoder_masks_zero_padding():

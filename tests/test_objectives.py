@@ -200,3 +200,40 @@ def test_reconstruction_metric_llik_invariant_across_models():
             float(met_a["reconstruction_loss_mod_1"]),
             float(met_b["reconstruction_loss_mod_1"]), rtol=1e-5,
             err_msg=cls.__name__)
+
+
+def test_bce_logits_path_matches_probability_path():
+    """The softplus-from-logits bce (dist.loc_logits, VaeDecoder.squash_dist)
+    must equal the probability-space form over clip(sigmoid(x), eta, 1-eta)
+    exactly (monotone reparameterization of the same function)."""
+    from multimodal_vae_comparison_tpu.constants import ETA
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 8, (4, 6)), jnp.float32)  # incl. saturation
+    t = jnp.asarray(rng.random((4, 6)) > 0.5, jnp.float32)
+    bound = float(np.log((1.0 - ETA) / ETA))
+    x_c = jnp.clip(x, -bound, bound)
+    p = jax.nn.sigmoid(x_c)
+    via_logits = objectives.bce(Normal(p, jnp.float32(0.75), loc_logits=x_c), t)
+    via_probs = objectives.bce(Normal(p, jnp.float32(0.75)), t)
+    # identical in exact arithmetic; near saturation the probability path
+    # loses fp32 bits in log(p) for p ~= 1, so allow a few ulps of slack
+    np.testing.assert_allclose(np.asarray(via_logits), np.asarray(via_probs),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bce_logits_path_finite_in_bf16_at_saturation():
+    """In bf16, 1 - 1e-6 rounds to 1.0 so the probability-space bce hits
+    log(0); the logits path must stay finite with finite gradients."""
+    x = jnp.asarray([[40.0, -40.0, 0.0]], jnp.bfloat16)
+    from multimodal_vae_comparison_tpu.models.decoders import _LOGIT_BOUND
+    x_c = jnp.clip(x, -_LOGIT_BOUND, _LOGIT_BOUND)
+    t = jnp.asarray([[0.0, 1.0, 1.0]], jnp.bfloat16)  # worst-case targets
+
+    def loss(x_c):
+        d = Normal(jax.nn.sigmoid(x_c), jnp.float32(0.75), loc_logits=x_c)
+        return jnp.sum(objectives.bce(d, t))
+
+    val, grad = jax.value_and_grad(loss)(x_c)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad, np.float32)))
