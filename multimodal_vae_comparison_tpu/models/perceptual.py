@@ -73,7 +73,14 @@ def feature_loss(dist, target, mask=None, batch_ndims=1):
     img_shape = recon.shape[batch_ndims:]
     assert len(img_shape) == 3, (
         f"feature_loss is for (H, W, C) images, got feature shape {img_shape}")
-    # fold leading K axes into the batch for the conv extractor
+    # fold leading (K, B) into the batch for the conv extractor with the
+    # BATCH dim as the major reshape factor: under a data mesh B is the
+    # sharded dim and GSPMD can only shard a merged dim through its
+    # major-most factor — a K-major fold would replicate the whole VGG
+    # extractor per device (same defect as base.decode_mod, round 4)
+    if batch_ndims == 2:
+        recon = recon.swapaxes(0, 1)
+        target = jnp.broadcast_to(target, dist.mean.shape).swapaxes(0, 1)
     flat_r = recon.reshape((-1,) + tuple(img_shape))
     flat_t = jnp.broadcast_to(target, recon.shape).reshape(
         (-1,) + tuple(img_shape))
@@ -92,4 +99,6 @@ def feature_loss(dist, target, mask=None, batch_ndims=1):
         jnp.square(flat_r - flat_t).reshape(flat_r.shape[0], -1), axis=-1)
     n_pix = int(np.prod(img_shape))
     ll = -(pix_mse + feat_mse * n_pix)
+    if batch_ndims == 2:
+        return ll.reshape((lead[1], lead[0])).swapaxes(0, 1)
     return ll.reshape(lead)
