@@ -237,3 +237,36 @@ def test_bce_logits_path_finite_in_bf16_at_saturation():
     val, grad = jax.value_and_grad(loss)(x_c)
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(grad, np.float32)))
+
+
+def test_bf16_image_objective_end_to_end_finite():
+    """Full-model regression for the bf16 loss chain: a PoE with a bce image
+    modality in bf16 compute must produce a finite loss and finite grads —
+    without the logit-space clamp (VaeDecoder.squash_dist) the saturated
+    sigmoid rounds to 1.0 in bf16 and log1p(-p) is -inf."""
+    from multimodal_vae_comparison_tpu.models import get_mixing
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+
+    specs = (ModalitySpec(name="mod_1", encoder="CNN", decoder="CNN",
+                          feature_dims=(64, 64, 3), recon_loss="bce"),
+             ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                          feature_dims=(6,), recon_loss="mse"))
+    model = get_mixing("poe")(specs=specs, n_latents=8, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    batch = {"mod_1": {"data": jnp.asarray(
+                 np.random.default_rng(0).random((4, 64, 64, 3)), jnp.float32),
+             "masks": None},
+             "mod_2": {"data": jnp.ones((4, 6), jnp.float32), "masks": None}}
+    params = model.init({"params": rng, "sample": rng}, batch,
+                        method=model.objective)
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, batch, method=model.objective,
+                              rngs={"sample": rng})
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(
+        np.all(np.isfinite(np.asarray(g, np.float32))) for g in leaves)
