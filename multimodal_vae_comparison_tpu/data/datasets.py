@@ -556,7 +556,15 @@ class VILANRO(BaseDataset):
 
     def _load_rgb(self):
         d = np.asarray(self.get_data_raw()).astype(np.float32)
-        d = d.reshape(-1, 64, 64, 3)
+        # camera resolution is a property of the collected dataset (round 5
+        # adds 128x128 sub-pixel rendering, lanro/collect.py --size); infer
+        # it from the stored frames instead of assuming 64
+        if d.ndim == 4:
+            s = d.shape[1]
+        else:
+            s = int(round((d.size / len(d) / 3) ** 0.5))
+        d = d.reshape(-1, s, s, 3)
+        self.feature_dims["front RGB"] = [s, s, 3]
         if d.max() > 1.5:
             d = d / 255.0
         return d, None

@@ -66,13 +66,14 @@ def instruction_encoder(exp, lang_mod: str):
     return encode
 
 
-def collect_scenes(env_id: str, n: int, seed: int) -> Dict[str, np.ndarray]:
+def collect_scenes(env_id: str, n: int, seed: int,
+                   img_size: int = 64) -> Dict[str, np.ndarray]:
     """Reset n fresh scenes and record observations + ground truth."""
     imgs, instrs, flips = [], [], []
     obj_pos, goal_off, goal_color = [], [], []
     colors: List[str] = []
     for t in range(n):
-        env = make(env_id, seed=seed + 7919 * t)
+        env = make(env_id, seed=seed + 7919 * t, img_size=img_size)
         obs = env.reset()
         goal = env.sim.objects[env.goal_idx]
         others = [o for i, o in enumerate(env.sim.objects)
@@ -163,7 +164,9 @@ def _logreg_acc(z: np.ndarray, y: np.ndarray, seed: int = 0) -> float:
 def probe_report(exp, env_id: str = "NLReach2-v0", scenes_n: int = 400,
                  seed: int = 0) -> Dict[str, float]:
     roles = modality_roles(exp)
-    scenes = collect_scenes(env_id, scenes_n, seed)
+    img_idx = int(roles["image"].split("_")[1]) - 1
+    img_size = int(exp.config.mods[img_idx].feature_dims[0])
+    scenes = collect_scenes(env_id, scenes_n, seed, img_size=img_size)
     img, lang = roles["image"], roles["language"]
     z_img = _posterior_means(exp, roles, scenes, (img,))
     z_lang = _posterior_means(exp, roles, scenes, (lang,))

@@ -69,7 +69,13 @@ def infer_loop(exp, env_id: str = "NLReach2-v0", trials: int = 500,
     which on a remote accelerator is thousands of tiny dispatches; batching
     the population turns a replan-every-step eval into at most
     ``max_steps`` forwards total, ~trials x fewer."""
-    envs = [make(env_id, seed=seed + 1000 * t) for t in range(trials)]
+    # camera resolution follows the trained image modality (round 5: 128x128
+    # sub-pixel renders) so eval observations match the training data
+    _map = {m.mod_type: m for m in exp.config.mods}
+    _img = _map.get("front RGB") or _map.get("image")
+    img_size = int(_img.feature_dims[0]) if _img is not None else 64
+    envs = [make(env_id, seed=seed + 1000 * t, img_size=img_size)
+            for t in range(trials)]
     env_adim = getattr(envs[0], "action_dim", 4)
     assert env_adim == 4, (
         f"{env_id} expects {env_adim}-dim actions; this evaluator replays "

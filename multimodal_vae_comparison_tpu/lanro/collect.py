@@ -129,7 +129,8 @@ def scripted_policy(env: LanroEnv) -> np.ndarray:
 
 def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
             max_len: int = 100, chunk_every: int = 0,
-            noise: float = 0.0, waypoints: bool = False) -> dict:
+            noise: float = 0.0, waypoints: bool = False,
+            img_size: int = 64) -> dict:
     """Roll the scripted expert and dump the trimodal pkl layout.
 
     ``chunk_every=k`` additionally emits hindsight action-chunk samples:
@@ -160,7 +161,7 @@ def collect(env_id: str, episodes: int, out_dir: str, seed: int = 0,
     ``noise_steps`` so the state distribution stays near-manifold instead
     of deep in random-walk territory."""
     os.makedirs(out_dir, exist_ok=True)
-    env = make(env_id, seed=seed)
+    env = make(env_id, seed=seed, img_size=img_size)
     rng = np.random.default_rng(seed)
     images: List[np.ndarray] = []
     instructions: List[str] = []
@@ -297,7 +298,9 @@ def collect_dagger(env_id: str, episodes: int, out_dir: str, model_dir: str,
     images, instructions, trajectories = [], [], []
     rounds = max(episodes // batch, 1)
     for r in range(rounds):
-        envs = [make(env_id, seed=seed + r * batch + t)
+        img_idx = int(img_mod.split("_")[1]) - 1
+        img_size = int(exp.config.mods[img_idx].feature_dims[0])
+        envs = [make(env_id, seed=seed + r * batch + t, img_size=img_size)
                 for t in range(batch)]
         obs = [e.reset() for e in envs]
         done = np.zeros(batch, bool)
@@ -346,6 +349,9 @@ def main():
     parser.add_argument("--episodes", type=int, default=2000)
     parser.add_argument("--out", required=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--size", type=int, default=64,
+                        help="camera resolution (round 5: 128 with the "
+                             "sub-pixel anti-aliased renderer)")
     parser.add_argument("--chunk_every", type=int, default=0,
                         help="also emit (mid-episode frame, remaining-"
                              "trajectory) hindsight chunks every k steps")
@@ -369,7 +375,7 @@ def main():
     else:
         stats = collect(args.env, args.episodes, args.out, args.seed,
                         chunk_every=args.chunk_every, noise=args.noise,
-                        waypoints=args.waypoints)
+                        waypoints=args.waypoints, img_size=args.size)
     print(stats)
 
 

@@ -83,7 +83,7 @@ class LanroEnv:
     def __init__(self, task: str = "reach", num_objects: int = 2,
                  max_steps: int = 100, seed: int = 0,
                  use_arm: bool = False, action_type: str = "end_effector",
-                 reward_type: str = "sparse"):
+                 reward_type: str = "sparse", img_size: int = 64):
         assert task in INSTRUCTION_TEMPLATES
         assert action_type in ("end_effector", "relative_joints")
         if action_type == "relative_joints":
@@ -94,6 +94,7 @@ class LanroEnv:
         self.max_steps = max_steps
         self.action_type = action_type
         self.reward_type = reward_type
+        self.img_size = int(img_size)
         friction = 0.05 if task == "slide" else 1.0
         self.sim = KinematicSimulation(seed, use_arm=use_arm,
                                        friction=friction)
@@ -173,7 +174,8 @@ class LanroEnv:
         # render_obs=False skips the cv2 rasterization for consumers that
         # never read obs["rgb"] (e.g. expert_suffix rollouts, which only
         # need the EE log — tens of thousands of frames per DAgger batch)
-        rgb = self.sim.render() if getattr(self, "render_obs", True) else None
+        rgb = (self.sim.render(self.img_size)
+               if getattr(self, "render_obs", True) else None)
         obs = {"rgb": rgb, "instruction": self.instruction,
                "ee": self.sim.ee.copy(), "gripper": self.sim.gripper}
         if self.sim.use_arm:
@@ -258,9 +260,10 @@ class GymnasiumEnv:
             low = np.array([-MAX_STEP] * 3 + [-1.0], np.float32)
             high = np.array([MAX_STEP] * 3 + [1.0], np.float32)
         self.action_space = Box(low=low, high=high)
+        s = self._env.img_size
         self.observation_space = {
-            "rgb": Box(low=np.zeros((64, 64, 3), np.float32),
-                       high=np.full((64, 64, 3), 255, np.float32)),
+            "rgb": Box(low=np.zeros((s, s, 3), np.float32),
+                       high=np.full((s, s, 3), 255, np.float32)),
         }
 
     def reset(self, seed: Optional[int] = None, options=None):
@@ -277,7 +280,7 @@ class GymnasiumEnv:
         return obs, reward, terminated, truncated, info
 
     def render(self):
-        return self._env.sim.render()
+        return self._env.sim.render(self._env.img_size)
 
     def close(self):
         pass

@@ -237,14 +237,77 @@ class KinematicSimulation:
                 * (size - 1))
         return x, y
 
-    def render(self, size: int = 64) -> np.ndarray:
-        """Top-down RGB view (reference: front RGB camera images)."""
+    def _to_px_f(self, pos: np.ndarray, size: int) -> Tuple[float, float]:
+        """Float-precision pixel coordinates (sub-pixel rendering path)."""
+        x = (pos[0] - WORKSPACE[0, 0]) / (WORKSPACE[0, 1] - WORKSPACE[0, 0]) \
+            * (size - 1)
+        y = (pos[1] - WORKSPACE[1, 0]) / (WORKSPACE[1, 1] - WORKSPACE[1, 0]) \
+            * (size - 1)
+        return float(x), float(y)
+
+    def render(self, size: int = 64, aa: Optional[bool] = None) -> np.ndarray:
+        """Top-down RGB view (reference: front RGB camera images).
+
+        ``aa=True`` (the default for size > 64) draws with sub-pixel
+        anti-aliased primitives (cv2 fixed-point ``shift`` coordinates), so
+        an object's blob centroid tracks its continuous world position
+        instead of snapping to the integer pixel grid.  Round-5 motivation:
+        at 64x64 one pixel is ~9.4 mm of workspace and objects rasterize to
+        3 px — the integer-grid render quantizes away precisely the
+        instance geometry the VILANRO endpoint task needs (measured:
+        round-4 supervised endpoint probes plateau ~0.15 m; see
+        benchmarks/vilanro_supervised_ceiling.py).  The 64x64 non-AA path
+        is kept bit-identical for existing datasets/tests."""
         import cv2
+        if aa is None:
+            aa = size > 64
         img = np.full((size, size, 3), (120, 110, 100), np.uint8)  # table
+        if not aa:
+            return self._render_legacy(img, size, cv2)
+        SHIFT = 4
+        S = 1 << SHIFT
+
+        def fx(v):
+            return int(round(v * S))
+
+        if self.target is not None:
+            tx, ty = self._to_px_f(self.target, size)
+            cv2.circle(img, (fx(tx), fx(ty)), fx(4.0 * size / 64),
+                       (250, 250, 250), max(size // 64, 1), cv2.LINE_AA,
+                       SHIFT)
+        # draw lower objects first so stacks occlude correctly
+        for obj in sorted(self.objects, key=lambda o: o.pos[2]):
+            x, y = self._to_px_f(obj.pos, size)
+            r = max(obj.size / 0.6 * size, 3.0 * size / 64)
+            color = COLOR_MAP[obj.color]
+            if obj.shape == "cube":
+                cv2.rectangle(img, (fx(x - r), fx(y - r)),
+                              (fx(x + r), fx(y + r)), color, -1,
+                              cv2.LINE_AA, SHIFT)
+            elif obj.shape == "cylinder":
+                cv2.circle(img, (fx(x), fx(y)), fx(r), color, -1,
+                           cv2.LINE_AA, SHIFT)
+            else:  # sphere: circle + highlight
+                cv2.circle(img, (fx(x), fx(y)), fx(r), color, -1,
+                           cv2.LINE_AA, SHIFT)
+                cv2.circle(img, (fx(x - r / 3), fx(y - r / 3)),
+                           fx(max(r / 3, 1.0)), (255, 255, 255), -1,
+                           cv2.LINE_AA, SHIFT)
+        ex, ey = self._to_px_f(self.ee, size)
+        arm = 4.5 * size / 64
+        thick = max(int(round(2 * size / 64)), 1)
+        cv2.line(img, (fx(ex - arm), fx(ey)), (fx(ex + arm), fx(ey)),
+                 (20, 20, 20), thick, cv2.LINE_AA, SHIFT)
+        cv2.line(img, (fx(ex), fx(ey - arm)), (fx(ex), fx(ey + arm)),
+                 (20, 20, 20), thick, cv2.LINE_AA, SHIFT)
+        return img
+
+    def _render_legacy(self, img: np.ndarray, size: int, cv2) -> np.ndarray:
+        """Integer-grid rasterizer — the original (round 1-4) render path,
+        kept bit-identical so existing 64x64 datasets stay reproducible."""
         if self.target is not None:
             tx, ty = self._to_px(self.target, size)
             cv2.circle(img, (tx, ty), 4, (250, 250, 250), 1)
-        # draw lower objects first so stacks occlude correctly
         for obj in sorted(self.objects, key=lambda o: o.pos[2]):
             x, y = self._to_px(obj.pos, size)
             r = max(int(obj.size / 0.6 * size), 3)

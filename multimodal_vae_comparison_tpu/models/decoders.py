@@ -72,8 +72,10 @@ class VaeDecoder(nn.Module):
 
 
 class Dec_CNN(VaeDecoder):
-    """MLP + 4x transposed-conv decoder to 64x64x3
-    (reference decoders.py:35-98)."""
+    """MLP + transposed-conv decoder from a 4x4 seed to ``data_dim`` images
+    (reference decoders.py:35-98: fixed 64x64x3; here the upsample count is
+    derived from ``data_dim`` so 128x128 VILANRO round-5 renders decode with
+    the same architecture — 4 ConvT layers at 64, 5 at 128)."""
 
     hid_channels: int = 32
     hidden_dim: int = 512
@@ -81,13 +83,16 @@ class Dec_CNN(VaeDecoder):
     @nn.compact
     def __call__(self, z, mask=None, train: bool = False):
         b = z.shape[0]
+        out_hw = int(self.data_dim[0])
+        out_ch = int(self.data_dim[-1]) if len(self.data_dim) >= 3 else 3
+        n_up = max(int(round(np.log2(out_hw / 4))), 1)   # 4x4 seed -> out_hw
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(z))
         h = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype)(h))
         h = nn.relu(nn.Dense(self.hid_channels * 16, dtype=self.dtype)(h))
         h = h.reshape(b, 4, 4, self.hid_channels)
-        for _ in range(3):
+        for _ in range(n_up - 1):
             h = nn.relu(ConvTranspose2dTorch(self.hid_channels, dtype=self.dtype)(h))
-        h = ConvTranspose2dTorch(3, dtype=self.dtype)(h)
+        h = ConvTranspose2dTorch(out_ch, dtype=self.dtype)(h)
         return self.squash_dist(h, b)
 
 
