@@ -313,6 +313,18 @@ def eval_single_model(exp, n_samples: int = 250, log_fn=print) -> Dict:
         if log_fn:
             log_fn(f"expost joint sampling skipped: {e}")
         joint_xp = {"joint": (float("nan"), float("nan"))}
+    # ExPost-as-prior: a parametric GMM fitted post-hoc to the aggregate
+    # posterior (infer._fitted_prior) — prior-protocol joint generation
+    # WITHOUT the training-time mixture KL that collapses cross-generation
+    # (round 4: MoG prior L3 T->I Strict 98.7 -> 0.4).  One trained model
+    # serves both reference protocols.
+    try:
+        joint_fit = calculate_joint_coherency(exp, classifiers, level,
+                                              source="fitted")
+    except Exception as e:
+        if log_fn:
+            log_fn(f"fitted-prior joint sampling skipped: {e}")
+        joint_fit = {"joint": (float("nan"), float("nan"))}
     out = {"Text-Image Strict": {"value": cross["text_image"][0], "stdev": None},
            "Text-Image Features": {"value": cross["text_image"][1], "stdev": None},
            "Image-Text Strict": {"value": cross["image_text"][0], "stdev": None},
@@ -322,6 +334,10 @@ def eval_single_model(exp, n_samples: int = 250, log_fn=print) -> Dict:
            "Joint Features": {"value": joint["joint"][1], "stdev": None},
            "Joint Strict ExPost": {"value": joint_xp["joint"][0], "stdev": None},
            "Joint Features ExPost": {"value": joint_xp["joint"][1], "stdev": None},
+           "Joint Strict FittedPrior": {"value": joint_fit["joint"][0],
+                                        "stdev": None},
+           "Joint Features FittedPrior": {"value": joint_fit["joint"][1],
+                                          "stdev": None},
            "Judge Accuracy Real": {"value": calibration, "stdev": None}}
     run_dir = getattr(exp, "run_dir", None) or exp.config.mPath
     if run_dir:
@@ -359,6 +375,7 @@ def _as_infer(obj):
         cross_generate = MultimodalVAEInfer.cross_generate
         joint_generate = MultimodalVAEInfer.joint_generate
         _expost_prior = MultimodalVAEInfer._expost_prior
+        _fitted_prior = MultimodalVAEInfer._fitted_prior
         get_test_samples = MultimodalVAEInfer.get_test_samples
         _full_batch = MultimodalVAEInfer._full_batch
         mod_names = MultimodalVAEInfer.mod_names
@@ -373,7 +390,10 @@ def eval_over_seeds(parent_dir: str, level: int = 0) -> Dict:
                             "Image-Text Strict", "Image-Text Features",
                             "Image-Text Letters", "Joint Strict",
                             "Joint Features", "Joint Strict ExPost",
-                            "Joint Features ExPost", "Judge Accuracy Real"]}
+                            "Joint Features ExPost",
+                            "Joint Strict FittedPrior",
+                            "Joint Features FittedPrior",
+                            "Judge Accuracy Real"]}
     for m in sorted(listdirs(parent_dir), key=last_letter):
         try:
             exp = MultimodalVAEInfer(m)

@@ -136,6 +136,17 @@ class MultimodalVAEInfer:
         the spirit of Ghosh et al. 2020 "From VAEs to RAEs", with the exact
         mixture instead of a Gaussian fit); closes the prior/aggregate-
         posterior mismatch that drives joint coherency to 0 on hard levels.
+        source='fitted': samples a C-component diagonal GMM fitted POST-HOC
+        (EM, _fitted_prior) to aggregate-posterior samples — a parametric
+        prior in the ex-post-density-estimation sense (Ghosh et al. 2020
+        fit a single Gaussian; a GMM is the standard stronger density).
+        Round-5 motivation: a TRAINING-TIME mixture prior
+        (prior_components > 1) wins the prior-protocol Joint metric but its
+        KL distorts the posterior geometry and collapses cross-generation
+        (measured round 4: L3 T->I Strict 98.7 -> 0.4).  Fitting the prior
+        AFTER training leaves the cross-generation champion untouched and
+        still gives joint generation a prior that covers the aggregate
+        posterior — one config, both protocols.
         ``temperature`` scales the sampling stddev.
         """
         key = jax.random.PRNGKey(seed)
@@ -148,6 +159,15 @@ class MultimodalVAEInfer:
             z = (mus[np.asarray(idx)]
                  + temperature * scales[np.asarray(idx)] * np.asarray(eps))
             z = z[None]
+        elif source == "fitted":
+            loc, scale, logw = self._fitted_prior()
+            k1, k2 = jax.random.split(key)
+            probs = np.exp(logw - logw.max())
+            probs = probs / probs.sum()
+            idx = np.asarray(jax.random.choice(
+                k1, len(loc), (num_samples,), p=jnp.asarray(probs)))
+            eps = np.asarray(jax.random.normal(k2, (num_samples, D)))
+            z = (loc[idx] + temperature * scale[idx] * eps)[None]
         else:
             # sample_pz covers both the learned-scale Gaussian and the
             # mixture prior (prior_components > 1)
@@ -196,6 +216,22 @@ class MultimodalVAEInfer:
             np.concatenate(scales, 0).astype(np.float32))
         return self._expost_cache
 
+    def _fitted_prior(self, components: int = 16, samples_per_row: int = 4,
+                      iters: int = 75, seed: int = 0):
+        """C-component diagonal GMM fitted by EM to samples of the
+        aggregate posterior (ExPost-as-prior; see joint_generate docstring).
+        Returns (loc (C, D), scale (C, D), log_weights (C,)); cached."""
+        if getattr(self, "_fitted_cache", None) is not None:
+            return self._fitted_cache
+        mus, scales = self._expost_prior()
+        rng = np.random.default_rng(seed)
+        eps = rng.standard_normal((samples_per_row,) + mus.shape)
+        x = (mus[None] + scales[None] * eps).reshape(-1, mus.shape[-1])
+        x = x.astype(np.float64)
+        self._fitted_cache = _fit_diag_gmm(x, components, iters=iters,
+                                           seed=seed)
+        return self._fitted_cache
+
     def get_test_samples(self, n: int, split: str = "test"):
         """Samples + labels from the test split (falls back to val,
         reference dataloader.py:166-176)."""
@@ -225,3 +261,34 @@ class MultimodalVAEInfer:
         fn = self.datamod.datasets[0].eval_statistics_fn()
         assert fn is not None, "dataset has no eval_statistics_fn"
         return fn(self)
+
+
+def _fit_diag_gmm(x: np.ndarray, C: int, iters: int = 75, seed: int = 0,
+                  min_var: float = 1e-4):
+    """Diagonal-covariance GMM via EM (numpy; N up to ~10k, D up to ~128).
+
+    Used by MultimodalVAEInfer._fitted_prior to fit an ExPost parametric
+    prior to aggregate-posterior samples.  Plain EM with a random-rows
+    init and a variance floor; deterministic under ``seed``.
+    Returns (loc (C, D) f32, scale (C, D) f32, log_weights (C,) f32)."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, np.float64)
+    n, d = x.shape
+    C = min(C, n)
+    loc = x[rng.choice(n, C, replace=False)].copy()
+    var = np.tile(x.var(0) + 1e-3, (C, 1))
+    logw = np.full(C, -np.log(C))
+    for _ in range(iters):
+        diff = x[:, None, :] - loc[None]                       # (N, C, D)
+        ll = (-0.5 * ((diff ** 2) / var[None]).sum(-1)
+              - 0.5 * np.log(2.0 * np.pi * var).sum(-1)[None]
+              + logw[None])                                    # (N, C)
+        ll -= ll.max(axis=1, keepdims=True)
+        r = np.exp(ll)
+        r /= r.sum(axis=1, keepdims=True)
+        nk = r.sum(0) + 1e-8                                   # (C,)
+        loc = (r.T @ x) / nk[:, None]
+        var = np.maximum((r.T @ (x ** 2)) / nk[:, None] - loc ** 2, min_var)
+        logw = np.log(nk / n)
+    return (loc.astype(np.float32), np.sqrt(var).astype(np.float32),
+            logw.astype(np.float32))
