@@ -311,8 +311,12 @@ class POE(MMVAE):
         for spec in self.specs:
             mask = _mask_of(batch, spec.name)
             conds = [self._cond_for(spec.name, batch, p) for p in presents]
+            # _cond_for builds a fresh (data, masks) tuple per call, so the
+            # "all subsets share one conditioning input" fast path compares
+            # the underlying arrays by identity, not the tuples.
             if all(c is None for c in conds) or all(
-                    c is not None and c is conds[0] for c in conds) or (
+                    c is not None and c[0] is conds[0][0]
+                    and c[1] is conds[0][1] for c in conds) or (
                     spec.cond_on is not None and spec.cond_always
                     and all(c is not None for c in conds)):
                 dec = self.decode_mod(spec.name, z_all, mask, cond=conds[0])

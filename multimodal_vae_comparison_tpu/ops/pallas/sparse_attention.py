@@ -336,7 +336,7 @@ def _sparse_vjp(q, k, v, block, block_stride):
     return _sparse_forward(q, k, v, block, block_stride)
 
 
-def _sparse_forward_with_lse(q, k, v, block, block_stride):
+def _sparse_forward_with_lse(q, k, v, block, block_stride, train=False):
     """(out, lse) — lse is None when the dense-bias path ran (small T),
     which also routes the backward through the dense recompute."""
     from multimodal_vae_comparison_tpu.ops.pallas import telemetry
@@ -351,11 +351,15 @@ def _sparse_forward_with_lse(q, k, v, block, block_stride):
     # backward landed, the kernel wins the TRAINING path from T=2048
     # (234 us vs 350 us fwd+bwd; 4.5x at T=4096: 419 us vs 1894 us) and
     # still loses at T=512 (66 us vs 8 us) where XLA's fused dense attention
-    # fits comfortably.  Threshold at 2048, override with
-    # MMVAE_TPU_SPARSE_PALLAS=1/0.
+    # fits comfortably.  Forward-ONLY (inference/serving — custom_vjp calls
+    # the primal, train=False) the round-3 A/B showed dense still wins at
+    # T=2048 (65 us vs 98 us), so the no-grad path keeps the 4096 threshold
+    # while the AD path (train=True, via _sparse_fwd) switches at 2048.
+    # Override with MMVAE_TPU_SPARSE_PALLAS=1/0 (applies to both paths).
     force = os.environ.get("MMVAE_TPU_SPARSE_PALLAS")
+    threshold = 2048 if train else 4096
     use_pallas = (force == "1" or _INTERPRET
-                  or (force != "0" and t >= 2048))
+                  or (force != "0" and t >= threshold))
     if not use_pallas:
         telemetry.record("sparse_attention", "jnp",
                          note=f"A/B default: dense bias wins at T={t}")
@@ -375,11 +379,13 @@ def _sparse_forward_with_lse(q, k, v, block, block_stride):
 
 
 def _sparse_forward(q, k, v, block, block_stride):
-    return _sparse_forward_with_lse(q, k, v, block, block_stride)[0]
+    return _sparse_forward_with_lse(q, k, v, block, block_stride,
+                                    train=False)[0]
 
 
 def _sparse_fwd(q, k, v, block, block_stride):
-    out, lse = _sparse_forward_with_lse(q, k, v, block, block_stride)
+    out, lse = _sparse_forward_with_lse(q, k, v, block, block_stride,
+                                        train=True)
     return out, (q, k, v, out, lse)
 
 
