@@ -409,18 +409,58 @@ def eval_over_seeds(parent_dir: str, level: int = 0) -> Dict:
     return out
 
 
+def aggregate_from_files(parent_dir: str, level: int = 0) -> Dict:
+    """Aggregate mean(std) from the per-seed ``cdspritesplus_stats.txt``
+    files the test-end hook already wrote — the reference's seed-averaged
+    leaderboard format (eval_cdsprites.py:423-469) without re-running
+    generation per seed (eval_over_seeds does; at 250 samples/model that
+    re-pays the whole eval)."""
+    cats: Dict[str, List[float]] = {}
+    n_runs = 0
+    for m in sorted(listdirs(parent_dir), key=last_letter):
+        path = os.path.join(m, "cdspritesplus_stats.txt")
+        if not os.path.exists(path):
+            print(f"skipping {m}: no cdspritesplus_stats.txt")
+            continue
+        n_runs += 1
+        with open(path) as f:
+            for line in f:
+                if ":" not in line:
+                    continue
+                key, val = line.rsplit(":", 1)
+                try:
+                    cats.setdefault(key.strip(), []).append(float(val))
+                except ValueError:
+                    continue
+    out = {k: {"value": stat.mean(v),
+               "stdev": stat.stdev(v) if len(v) > 1 else 0.0}
+           for k, v in cats.items() if v}
+    if not out:
+        raise FileNotFoundError(f"no per-seed stats files under {parent_dir}")
+    print(f"aggregated {n_runs} seed runs under {parent_dir}")
+    print_save_stats(out, parent_dir, "cdspritesplus", level or 1)
+    return out
+
+
 def main():
-    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
     parser = argparse.ArgumentParser()
     parser.add_argument("-p", "--mpath", type=str,
                         help="path to a trained run dir")
     parser.add_argument("-m", "--multieval", type=str,
-                        help="parent dir with multiple seed runs")
+                        help="parent dir with multiple seed runs (re-runs "
+                             "generation per seed)")
+    parser.add_argument("-a", "--aggregate", type=str,
+                        help="parent dir: aggregate existing per-seed stats "
+                             "files without re-running generation")
     parser.add_argument("-l", "--level", type=int, default=0)
     args = parser.parse_args()
-    assert not (args.mpath and args.multieval)
+    assert sum(bool(x) for x in
+               (args.mpath, args.multieval, args.aggregate)) == 1
     if args.mpath:
+        from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
         eval_single_model(MultimodalVAEInfer(args.mpath))
+    elif args.aggregate:
+        aggregate_from_files(args.aggregate, args.level)
     else:
         eval_over_seeds(args.multieval, args.level)
 

@@ -90,3 +90,29 @@ def test_multihead_video_classifier_trains_and_predicts():
     pred = predict(model, params, videos)
     assert pred.shape == (48, 4)
     assert (pred == labels).mean() > 0.8
+
+
+def test_aggregate_from_files_mean_std(tmp_path):
+    """File-based seed aggregation: mean(std) over per-version stats files
+    in the reference's seed-leaderboard format (eval_cdsprites.py:423-469)."""
+    from multimodal_vae_comparison_tpu.eval.eval_cdsprites import (
+        aggregate_from_files)
+    for v, (js, tis) in enumerate([(30.0, 100.0), (40.0, 90.0),
+                                   (50.0, 95.0)]):
+        d = tmp_path / f"version_{v}"
+        d.mkdir()
+        (d / "cdspritesplus_stats.txt").write_text(
+            f"Text-Image Strict: {tis:.2f}\nJoint Strict: {js:.2f}\n")
+    out = aggregate_from_files(str(tmp_path), level=1)
+    assert out["Joint Strict"]["value"] == pytest.approx(40.0)
+    assert out["Joint Strict"]["stdev"] == pytest.approx(10.0)
+    assert out["Text-Image Strict"]["value"] == pytest.approx(95.0)
+    assert (tmp_path / "cdspritesplus_stats.txt").exists()
+
+
+def test_aggregate_from_files_empty_raises(tmp_path):
+    from multimodal_vae_comparison_tpu.eval.eval_cdsprites import (
+        aggregate_from_files)
+    (tmp_path / "version_0").mkdir()
+    with pytest.raises(FileNotFoundError):
+        aggregate_from_files(str(tmp_path))
