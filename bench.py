@@ -153,7 +153,7 @@ def _compute_dtype():
             else jnp.float32)
 
 
-def _assemble(model, batch):
+def _assemble(model, batch, grad_accum: int = 1):
     """(state, batch, rng, raw_step) for any model/batch pair, with the
     bf16-on-TPU compute path (params stay fp32)."""
     import jax
@@ -174,15 +174,27 @@ def _assemble(model, batch):
     tx = optax.amsgrad(1e-4)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
-    raw_step = make_train_step(model, tx, jit=False)
+    raw_step = make_train_step(model, tx, jit=False, grad_accum=grad_accum)
     return state, batch, rng, raw_step
+
+
+def _grad_accum_for(batch_size: int) -> int:
+    """Microbatch factor for large batches: past the VMEM sweet spot the
+    whole program goes HBM-bound (perf_diag r4: every component −30% from
+    bs256→4096), so big batches train as lax.scanned microbatches with fp32
+    gradient accumulation — identical math (trainer.make_train_step), the
+    per-step working set stays at BENCH_MICROBATCH (default 256)."""
+    micro = int(os.environ.get("BENCH_MICROBATCH", 256))
+    if micro <= 0 or batch_size <= micro or batch_size % micro:
+        return 1
+    return batch_size // micro
 
 
 def _build(batch_size):
     import __graft_entry__ as ge
     model = ge._flagship(n_latents=LATENTS, seq_len=SEQ)
     batch = ge._batch(batch_size, seq_len=SEQ)
-    return _assemble(model, batch)
+    return _assemble(model, batch, grad_accum=_grad_accum_for(batch_size))
 
 
 def _family_workloads():
@@ -242,20 +254,72 @@ def _family_workloads():
         }
         return model, batch
 
+    def videogpt_sparse(bs=8):
+        # the reference's VideoGPT attn_type='sparse' option (DeepSpeed
+        # StridedSparsityConfig, nn_modules.py:624-882) as the Pallas
+        # block-sparse kernel over 8*16*16 = 2048 flattened spacetime
+        # tokens — the regime where the kernel wins the fwd+bwd A/B, so
+        # this family's kernel_paths telemetry shows the Pallas path in a
+        # measured end-to-end train step.
+        specs = (
+            ModalitySpec(name="mod_1", encoder="VideoGPTSparse",
+                         decoder="VideoGPTSparse",
+                         feature_dims=(8, 64, 64, 3), mod_type="frames",
+                         recon_loss="bce"),
+            ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                         feature_dims=(9,), mod_type="actions",
+                         recon_loss="bce"),
+        )
+        model = get_mixing("moe")(specs=specs, n_latents=32, obj="dreg",
+                                  K=5, remat=True)
+        k = jax.random.PRNGKey(0)
+        ks = jax.random.split(k, 2)
+        batch = {
+            "mod_1": {"data": jax.random.uniform(ks[0], (bs, 8, 64, 64, 3)),
+                      "masks": None},
+            "mod_2": {"data": jax.random.uniform(ks[1], (bs, 9)),
+                      "masks": None},
+        }
+        return model, batch
+
     return {"moe_dreg_k10_cdsprites_bs24": moe_dreg_k10,
             "mopoe_polymnist_5mod_bs128": mopoe_polymnist,
-            "videogpt_sprites_moe_dreg_k5_bs16": videogpt_sprites}
+            "videogpt_sprites_moe_dreg_k5_bs16": videogpt_sprites,
+            "videogpt_sparseattn_T2048_moe_dreg_k5_bs8": videogpt_sparse}
 
 
 def bench_family(name: str, builder, rtt_s: float, peaks: dict) -> dict:
     """Scan-timed throughput + MFU of one model-zoo family (same fetch-sync
     methodology as bench_jax, fewer scan steps — these are secondary
-    curves, not the headline)."""
+    curves, not the headline).  On RESOURCE_EXHAUSTED the family retries at
+    half the batch (recorded as batch_fallback_from) instead of shipping a
+    crash row — BENCH_r04's videogpt family OOM'd at bs16."""
+    import inspect
+
+    bs0 = inspect.signature(builder).parameters["bs"].default
+    bs = bs0
+    while True:
+        try:
+            row = _bench_family_at(name, builder, rtt_s, peaks, bs)
+            if bs != bs0:
+                row["batch_fallback_from"] = bs0
+            return row
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) and bs > 1:
+                print(f"[bench] {name}: RESOURCE_EXHAUSTED at bs={bs}, "
+                      f"retrying at bs={bs // 2}", file=sys.stderr)
+                bs //= 2
+                continue
+            raise
+
+
+def _bench_family_at(name: str, builder, rtt_s: float, peaks: dict,
+                     bs_req: int) -> dict:
     import jax
     import jax.numpy as jnp
 
     scan_n = int(os.environ.get("BENCH_FAMILY_SCAN_STEPS", 100))
-    model, batch = builder()
+    model, batch = builder(bs=bs_req)
     state, batch, rng, raw_step = _assemble(model, batch)
     bs = next(v["data"].shape[0] for v in batch.values()
               if v.get("data") is not None)
@@ -365,6 +429,7 @@ def bench_jax(batch_size: int, peaks: dict, rtt_s: float) -> dict:
 
     row = {
         "batch": batch_size,
+        "grad_accum": _grad_accum_for(batch_size),
         "samples_per_s_per_chip": round(
             batch_size / step_s_scan / n_chips, 2),
         "samples_per_s_per_chip_fetch": round(
@@ -687,13 +752,16 @@ def main():
     out = {
         "metric": ("train samples/sec/chip, bimodal MVAE (PoE, CdSprites+ L2 "
                    "shapes, bs=%d, bf16), scan-timed (N steps in one "
-                   "dispatch, fetch-synced) vs equivalent PyTorch on host "
-                   "CPU (1 core — the only torch target in this image; the "
-                   "reference hardcodes .cuda() and names no GPU)"
-                   % BATCHES[0]),
+                   "dispatch, fetch-synced)" % BATCHES[0]),
         "value": sps,
         "unit": "samples/s/chip",
+        # torch baseline = the same model in PyTorch on 1 host CPU core (the
+        # only torch target in this image; the reference hardcodes .cuda()
+        # and names no GPU).  A CPU-core ratio is NOT a GPU comparison —
+        # read the absolute samples/s and mfu_*_calibrated first.
         "vs_baseline": round(sps / torch_sps, 2) if torch_sps else None,
+        "baseline_caveat": ("vs_baseline divides by a 1-core CPU torch "
+                            "measurement; prefer value + mfu_mxu_calibrated"),
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
         "step_ms_scan": head["step_ms_scan"],
         "step_ms_fetch": head["step_ms_fetch"],

@@ -68,6 +68,10 @@ _TOP_DEFAULTS = {
     "aux_endpoint": 0.0,
     # >1 = learnable mixture-of-Gaussians prior with this many components
     "prior_components": 1,
+    # >1 = split each batch into this many microbatches and accumulate fp32
+    # gradients before one optimizer update (same math, microbatch-sized
+    # activation working set — keeps big batches out of the HBM-spill regime)
+    "grad_accum": 1,
 }
 
 

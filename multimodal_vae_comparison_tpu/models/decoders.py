@@ -398,6 +398,7 @@ class Dec_VideoGPT(VaeDecoder):
     n_res_layers: int = 4
     upsample: Tuple[int, int, int] = (1, 4, 4)
     hidden: int = 64
+    attn_type: str = "axial"   # 'axial' | 'sparse' (nn_modules.py:624-882)
 
     @nn.compact
     def __call__(self, z, mask=None, train: bool = False):
@@ -407,8 +408,11 @@ class Dec_VideoGPT(VaeDecoder):
         h = nn.Dense(self.hidden * t * base * base, dtype=self.dtype,
                      name="upsample_lin")(z)
         h = h.reshape(b, t, base, base, self.hidden)
+        block_cls = (nets.SparseAttentionResidualBlock
+                     if self.attn_type == "sparse"
+                     else AttentionResidualBlock)
         for _ in range(self.n_res_layers):
-            h = AttentionResidualBlock(self.hidden, dtype=self.dtype)(h, train)
+            h = block_cls(self.hidden, dtype=self.dtype)(h, train)
         h = nn.relu(nets.group_norm(h, dtype=self.dtype))
         n_times = [int(np.log2(d)) for d in self.upsample]
         max_us = max(n_times)
@@ -423,6 +427,14 @@ class Dec_VideoGPT(VaeDecoder):
             remaining = [r - 1 for r in remaining]
         mean = jax.nn.sigmoid(h.astype(jnp.float32))
         return mean, self.scale_like(mean)
+
+
+class Dec_VideoGPTSparse(Dec_VideoGPT):
+    """Dec_VideoGPT with the reference's ``attn_type='sparse'`` attention:
+    strided block-sparse over the flattened spacetime tokens, served by the
+    Pallas kernel on TPU (reference nn_modules.py:624-882)."""
+
+    attn_type: str = "sparse"
 
 
 DECODERS = {
@@ -440,6 +452,7 @@ DECODERS = {
     "ConvTxt": Dec_ConvTxt,
     "TransformerIMG": Dec_TransformerIMG,
     "VideoGPT": Dec_VideoGPT,
+    "VideoGPTSparse": Dec_VideoGPTSparse,
 }
 
 

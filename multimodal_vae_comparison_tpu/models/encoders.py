@@ -417,6 +417,7 @@ class Enc_VideoGPT(VaeEncoder):
     n_res_layers: int = 4
     downsample: Tuple[int, int, int] = (1, 4, 4)
     hidden: int = 64
+    attn_type: str = "axial"   # 'axial' | 'sparse' (nn_modules.py:624-882)
 
     @nn.compact
     def __call__(self, data, mask=None, train: bool = False):
@@ -431,12 +432,23 @@ class Enc_VideoGPT(VaeEncoder):
             if i < max_ds - 1:
                 h = nn.relu(h)
             remaining = [r - 1 for r in remaining]
+        block_cls = (nets.SparseAttentionResidualBlock
+                     if self.attn_type == "sparse"
+                     else AttentionResidualBlock)
         for _ in range(self.n_res_layers):
-            h = AttentionResidualBlock(self.hidden, dtype=self.dtype)(h, train)
+            h = block_cls(self.hidden, dtype=self.dtype)(h, train)
         h = nets.group_norm(h, dtype=self.dtype)
         h = nn.relu(h)
         h = h.mean(axis=(1, 2, 3))
         return self.head(h)
+
+
+class Enc_VideoGPTSparse(Enc_VideoGPT):
+    """Enc_VideoGPT with the reference's ``attn_type='sparse'`` attention:
+    strided block-sparse over the flattened spacetime tokens, served by the
+    Pallas kernel on TPU (reference nn_modules.py:624-882)."""
+
+    attn_type: str = "sparse"
 
 
 ENCODERS = {
@@ -458,6 +470,7 @@ ENCODERS = {
     "TxtRNN": Enc_TxtRNN,
     "TransformerIMG": Enc_TransformerIMG,
     "VideoGPT": Enc_VideoGPT,
+    "VideoGPTSparse": Enc_VideoGPTSparse,
 }
 
 

@@ -369,6 +369,40 @@ class AttentionResidualBlock(nn.Module):
         return x + h
 
 
+class SparseAttentionResidualBlock(nn.Module):
+    """VideoGPT attention-residual block with the reference's
+    ``attn_type='sparse'`` option (reference nn_modules.py:624-882, the
+    DeepSpeed StridedSparsityConfig path): the (B, T, H, W, C) feature
+    volume flattens to one spacetime token sequence and runs the strided
+    block-sparse kernel — on TPU the Pallas kernel actually skips the
+    masked blocks (ops/pallas/sparse_attention.py).  At VideoGPT's
+    default downsampling a SPRITES clip is 8*16*16 = 2048 tokens, the
+    regime where the Pallas fwd+bwd path wins the A/B
+    (docs/performance.md)."""
+
+    channels: int
+    block: int = 128
+    block_stride: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = group_norm(x, dtype=self.dtype)
+        h = nn.relu(h)
+        h = SamePadConv3d(self.channels // 2, kernel=3, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        h = SamePadConv3d(self.channels, kernel=1, dtype=self.dtype)(h)
+        h = group_norm(h, dtype=self.dtype)
+        h = nn.relu(h)
+        b, t, hh, ww, c = h.shape
+        seq = h.reshape(b, t * hh * ww, c)
+        att = StridedSparseSelfAttention(
+            num_heads=2, block=self.block, block_stride=self.block_stride,
+            dtype=self.dtype)(seq)
+        return x + att.reshape(b, t, hh, ww, c)
+
+
 class StridedSparseSelfAttention(nn.Module):
     """VideoGPT's 'sparse' attention type as a real block-sparse kernel.
 

@@ -62,24 +62,73 @@ def build_model(cfg, dtype=jnp.float32):
     return get_mixing(cfg.mixing)(**kwargs)
 
 
-def make_train_step(model, tx, jit: bool = True):
+def make_train_step(model, tx, jit: bool = True, grad_accum: int = 1):
     """Build the jitted train step: value_and_grad + optax update.
 
     The whole multimodal objective — every encoder, every fusion, every
     subset ELBO — traces into one XLA program here.  ``jit=False`` returns
     the raw step function (for embedding in a caller's scan, e.g. bench.py's
     single-dispatch N-step timing loop).
+
+    ``grad_accum > 1`` splits the batch into that many microbatches and
+    lax.scans value_and_grad over them, accumulating fp32 gradients before
+    ONE optimizer update — numerically the mean-loss gradient of the full
+    batch, but the activation working set stays at the microbatch size.  On
+    TPU this keeps large-batch steps out of the HBM-spill regime that bends
+    the throughput curve down past the VMEM sweet spot (docs/performance.md);
+    the reference has no large-batch story at all (single-GPU Lightning
+    loop).  Batch size must divide evenly by ``grad_accum``.
     """
+
+    def grads_of(params, batch, rng):
+        def loss_fn(p):
+            return model.apply(p, batch, rngs={"sample": rng},
+                               method=model.objective)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
-            return model.apply(params, batch, rngs={"sample": rng},
-                               method=model.objective)
+        if grad_accum == 1:
+            (loss, metrics), grads = grads_of(state.params, batch, rng)
+        else:
+            def to_chunks(x):
+                assert x.shape[0] % grad_accum == 0, (
+                    f"batch {x.shape[0]} not divisible by "
+                    f"grad_accum={grad_accum}")
+                return x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                 + x.shape[1:])
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            chunked = jax.tree_util.tree_map(to_chunks, batch)
+
+            def body(carry, inp):
+                g_acc, l_acc, m_acc = carry
+                chunk, idx = inp
+                (l, m), g = grads_of(state.params, chunk,
+                                     jax.random.fold_in(rng, idx))
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g)
+                m_acc = jax.tree_util.tree_map(lambda a, b: a + b,
+                                               m_acc, dict(m))
+                return (g_acc, l_acc + l, m_acc), None
+
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            # trace one chunk to get the metrics structure for the carry
+            chunk0 = jax.tree_util.tree_map(lambda x: x[0], chunked)
+            m0 = jax.eval_shape(lambda p, c: grads_of(p, c, rng)[0][1],
+                                state.params, chunk0)
+            m0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), dict(m0))
+            (g_acc, loss, m_acc), _ = jax.lax.scan(
+                body, (g0, jnp.zeros((), jnp.float32), m0),
+                (chunked, jnp.arange(grad_accum)))
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g * inv).astype(p.dtype), g_acc, state.params)
+            loss = loss * inv
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, m_acc)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
@@ -92,7 +141,8 @@ def make_train_step(model, tx, jit: bool = True):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_epoch_runner(model, tx, reshuffle: bool = True):
+def make_epoch_runner(model, tx, reshuffle: bool = True,
+                      grad_accum: int = 1):
     """Whole-epoch lax.scan runner: ONE dispatch per epoch.
 
     The datasets here fit in HBM (largest is a few GB), so the fastest
@@ -103,7 +153,8 @@ def make_epoch_runner(model, tx, reshuffle: bool = True):
     datasets (cfg.scan_epochs / auto-size check in Trainer.fit).
     """
 
-    train_step = make_train_step(model, tx, jit=False)
+    train_step = make_train_step(model, tx, jit=False,
+                                 grad_accum=grad_accum)
 
     def epoch_fn(state, epoch_data, rng):
         # fresh sample order every epoch: permute the staged samples on
@@ -202,11 +253,14 @@ class Trainer:
             str(getattr(cfg, "precision", "32")), jnp.float32)
         self.model = build_model(cfg, dtype=dtype)
         self.tx = make_optimizer(cfg.optimizer, cfg.lr)
-        self.train_step = make_train_step(self.model, self.tx)
+        accum = int(getattr(cfg, "grad_accum", 1) or 1)
+        self.train_step = make_train_step(self.model, self.tx,
+                                          grad_accum=accum)
         self.eval_step = make_eval_step(self.model)
         self.epoch_runner = make_epoch_runner(
             self.model, self.tx,
-            reshuffle=bool(getattr(cfg, "reshuffle", True)))
+            reshuffle=bool(getattr(cfg, "reshuffle", True)),
+            grad_accum=accum)
         self.eval_runner = make_eval_runner(self.model)
         self._staged_epoch = None
         self._staged_val = None

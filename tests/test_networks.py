@@ -28,6 +28,8 @@ ENC_CASES = {
     "TxtRNN": ((8, 27), False),
     "TransformerIMG": ((3, 64, 64, 3), True),
     "VideoGPT": ((4, 64, 64, 3), False),
+    # sparse attn over flattened spacetime tokens (2*8*8 = 128 = 1 block)
+    "VideoGPTSparse": ((2, 32, 32, 3), False),
 }
 
 DEC_CASES = {
@@ -44,6 +46,7 @@ DEC_CASES = {
     "ConvTxt": (8, 27),
     "TransformerIMG": (3, 64, 64, 3),
     "VideoGPT": (4, 64, 64, 3),
+    "VideoGPTSparse": (2, 32, 32, 3),
 }
 
 
