@@ -102,6 +102,45 @@ class FrameAttributeClassifier(nn.Module):
         return out.reshape(out.shape[0], self.heads, self.num_classes)
 
 
+class ActionVideoClassifier(nn.Module):
+    """Motion-aware action judge on video clips (round 5).
+
+    The round-3 VideoClassifier action judge global-mean-pools over
+    (T, H, W), blending away both the motion dynamics (walk vs slash vs
+    spellcast) and the pose direction (front/left/right) that define the 9
+    SPRITES action classes — it calibrated at 79.3% on real frames and
+    capped actions→frames exactly there (RESULTS.md round 4).  Two fixes,
+    mirroring the round-4 spatial-flatten attribute judge:
+
+    * frame-to-frame temporal differences concatenate onto the input
+      channels, handing the judge the motion field explicitly;
+    * the conv stack downsamples but the head sees a full spatiotemporal
+      FLATTEN (no global pool), preserving where and when the limbs move.
+
+    Role analog: reference frame2action classifier
+    (eval_sprites.py:50-58, train_classifiers.py:12-57)."""
+
+    num_classes: int
+    hid_channels: int = 32
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        # (B, T, H, W, C) -> motion channels: x_t - x_{t-1}, zero for t=0
+        delta = jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]), x[:, 1:] - x[:, :-1]], axis=1)
+        h = jnp.concatenate([x, delta], axis=-1)
+        for i, feats in enumerate((self.hid_channels, self.hid_channels * 2,
+                                   self.hid_channels * 2)):
+            t_stride = 1 if i == 0 else 2
+            h = nn.relu(nn.Conv(feats, (3, 3, 3),
+                                strides=(t_stride, 2, 2),
+                                padding="SAME")(h))
+        h = h.reshape(h.shape[0], -1)             # spatiotemporal flatten
+        h = nn.relu(nn.Dense(self.hidden_dim)(h))
+        return nn.Dense(self.num_classes)(h)
+
+
 def train_classifier(model: nn.Module, images: np.ndarray, labels: np.ndarray,
                      epochs: int = 12, batch_size: int = 128, lr: float = 1e-3,
                      seed: int = 0, log_fn=None) -> Dict:

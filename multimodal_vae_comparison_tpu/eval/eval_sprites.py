@@ -32,8 +32,13 @@ def _frames_train_data(exp, mapping):
 
 def _action_classifier(exp, cache_dir):
     mapping = _mods_by_type(exp)
-    model = VideoClassifier(num_classes=9)
-    cache = os.path.join(cache_dir, "sprites_action_clf_v2.pkl")
+    # round 5: motion-aware judge (temporal deltas + spatiotemporal flatten)
+    # — the mean-pooled VideoClassifier capped calibration at 79.3% and
+    # therefore actions→frames exactly there (ActionVideoClassifier docstring)
+    from multimodal_vae_comparison_tpu.eval.classifiers import (
+        ActionVideoClassifier)
+    model = ActionVideoClassifier(num_classes=9)
+    cache = os.path.join(cache_dir, "sprites_action_clf_v3.pkl")
 
     def data_fn():
         frames = _frames_train_data(exp, mapping)
@@ -41,7 +46,8 @@ def _action_classifier(exp, cache_dir):
         actions, _ = exp.datamod.split_arrays(actions_idx, "train")
         return frames, np.argmax(actions, -1)
 
-    return model, get_or_train_classifier(cache, model, data_fn, epochs=6)
+    return model, get_or_train_classifier(cache, model, data_fn, epochs=30,
+                                          lr=3e-4)
 
 
 def _attribute_classifier(exp, cache_dir):

@@ -241,3 +241,40 @@ def test_cub_eval_end_to_end(tmp_path):
         del os.environ["CUB_CLASSIFIER_DIR"]
     assert "judge_accuracy_real" in stats
     assert 0.0 <= stats["text_to_image_color"] <= 1.0
+
+
+def test_action_judge_learns_motion_only_classes():
+    """The round-5 motion-aware action judge must separate clips that
+    differ ONLY in motion direction — exactly what the mean-pooled
+    VideoClassifier blends away (its 79.3% real-frame calibration capped
+    actions→frames, VERDICT r4 item 5)."""
+    import jax
+    from multimodal_vae_comparison_tpu.eval.classifiers import (
+        ActionVideoClassifier, classifier_accuracy, train_classifier)
+
+    rng = np.random.default_rng(0)
+    T, H = 6, 12
+    n_per = 48
+
+    def clip(direction):
+        # a bright 2x2 dot sweeping across the SAME positions in both
+        # classes: only the temporal ORDER differs, so time-mean-pooled
+        # features are identical by construction
+        start = rng.integers(0, H)
+        xs = np.zeros((T, H, H, 3), np.float32)
+        for t in range(T):
+            pos = (start + (t if direction else T - 1 - t)) % (H - 1)
+            xs[t, pos:pos + 2, pos:pos + 2] = 1.0
+        return xs
+
+    clips = np.stack([clip(d) for d in (0, 1) for _ in range(n_per)])
+    labels = np.repeat([0, 1], n_per)
+    order = rng.permutation(len(clips))
+    clips, labels = clips[order], labels[order]
+    tr = len(clips) * 3 // 4
+    model = ActionVideoClassifier(num_classes=2, hid_channels=8,
+                                  hidden_dim=32)
+    params = train_classifier(model, clips[:tr], labels[:tr], epochs=60,
+                              batch_size=16, lr=3e-3)
+    acc = classifier_accuracy(model, params, clips[tr:], labels[tr:])
+    assert acc >= 0.9, f"motion-only holdout accuracy {acc}"
