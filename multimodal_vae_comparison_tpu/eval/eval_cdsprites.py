@@ -409,18 +409,20 @@ def eval_over_seeds(parent_dir: str, level: int = 0) -> Dict:
     return out
 
 
-def aggregate_from_files(parent_dir: str, level: int = 0) -> Dict:
-    """Aggregate mean(std) from the per-seed ``cdspritesplus_stats.txt``
+def aggregate_from_files(parent_dir: str, level: int = 0,
+                         stats_name: str = "cdspritesplus") -> Dict:
+    """Aggregate mean(std) from the per-seed ``<stats_name>_stats.txt``
     files the test-end hook already wrote — the reference's seed-averaged
     leaderboard format (eval_cdsprites.py:423-469) without re-running
     generation per seed (eval_over_seeds does; at 250 samples/model that
-    re-pays the whole eval)."""
+    re-pays the whole eval).  Works for any dataset whose stats files use
+    the shared ``Key: value`` format (sprites, vilanro, ...)."""
     cats: Dict[str, List[float]] = {}
     n_runs = 0
     for m in sorted(listdirs(parent_dir), key=last_letter):
-        path = os.path.join(m, "cdspritesplus_stats.txt")
+        path = os.path.join(m, f"{stats_name}_stats.txt")
         if not os.path.exists(path):
-            print(f"skipping {m}: no cdspritesplus_stats.txt")
+            print(f"skipping {m}: no {stats_name}_stats.txt")
             continue
         n_runs += 1
         with open(path) as f:
@@ -438,7 +440,7 @@ def aggregate_from_files(parent_dir: str, level: int = 0) -> Dict:
     if not out:
         raise FileNotFoundError(f"no per-seed stats files under {parent_dir}")
     print(f"aggregated {n_runs} seed runs under {parent_dir}")
-    print_save_stats(out, parent_dir, "cdspritesplus", level or 1)
+    print_save_stats(out, parent_dir, stats_name, level or 1)
     return out
 
 
@@ -453,6 +455,10 @@ def main():
                         help="parent dir: aggregate existing per-seed stats "
                              "files without re-running generation")
     parser.add_argument("-l", "--level", type=int, default=0)
+    parser.add_argument("-s", "--stats-name", type=str,
+                        default="cdspritesplus",
+                        help="stats-file prefix for --aggregate (e.g. "
+                             "'sprites', 'vilanro_NLReach2-v0_replan0')")
     args = parser.parse_args()
     assert sum(bool(x) for x in
                (args.mpath, args.multieval, args.aggregate)) == 1
@@ -460,7 +466,8 @@ def main():
         from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
         eval_single_model(MultimodalVAEInfer(args.mpath))
     elif args.aggregate:
-        aggregate_from_files(args.aggregate, args.level)
+        aggregate_from_files(args.aggregate, args.level,
+                             stats_name=args.stats_name)
     else:
         eval_over_seeds(args.multieval, args.level)
 
