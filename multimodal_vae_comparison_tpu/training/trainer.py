@@ -96,8 +96,15 @@ def make_train_step(model, tx, jit: bool = True, grad_accum: int = 1):
                 assert x.shape[0] % grad_accum == 0, (
                     f"batch {x.shape[0]} not divisible by "
                     f"grad_accum={grad_accum}")
-                return x.reshape((grad_accum, x.shape[0] // grad_accum)
-                                 + x.shape[1:])
+                # STRIDED chunks (chunk g = x[g::G]), not contiguous blocks:
+                # under a data mesh a contiguous (G, B/G) reshape puts the
+                # sharded dim minor and GSPMD partially replicates the
+                # per-chunk work (the round-4 decode-fold bug class); the
+                # strided split keeps every chunk block-sharded exactly like
+                # the full batch (tests/test_sharding.py pins per-device
+                # FLOPs ~1/N).
+                return x.reshape((x.shape[0] // grad_accum, grad_accum)
+                                 + x.shape[1:]).swapaxes(0, 1)
 
             chunked = jax.tree_util.tree_map(to_chunks, batch)
 

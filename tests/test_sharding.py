@@ -175,3 +175,55 @@ def test_per_device_program_shrinks_with_mesh():
     f1 = per_device_flops(1)
     f8 = per_device_flops(8)
     assert f8 < f1 / 2, (f1, f8)
+
+
+def test_grad_accum_sharded_program_shrinks_and_matches():
+    """grad_accum under a data mesh: the microbatch chunking must stay
+    sharded (the round-4 decode-fold bug was exactly a GSPMD-hostile
+    reshape silently replicating work per device), so the per-device
+    program FLOPs must still shrink ~1/N and the update must match the
+    single-device grad_accum step."""
+    import optax
+    from multimodal_vae_comparison_tpu.models import get_mixing
+    from multimodal_vae_comparison_tpu.models.base import ModalitySpec
+    from multimodal_vae_comparison_tpu.training.trainer import (
+        TrainState, make_train_step)
+
+    specs = (ModalitySpec(name="mod_1", encoder="FNN", decoder="FNN",
+                          feature_dims=(32,), recon_loss="mse"),
+             ModalitySpec(name="mod_2", encoder="FNN", decoder="FNN",
+                          feature_dims=(8,), recon_loss="mse"))
+    model = get_mixing("poe")(specs=specs, n_latents=4)
+    rng_d = np.random.default_rng(0)
+    batch = {"mod_1": {"data": rng_d.random((64, 32)).astype(np.float32),
+                       "masks": None},
+             "mod_2": {"data": rng_d.random((64, 8)).astype(np.float32),
+                       "masks": None}}
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng}, batch,
+                        method=model.objective)
+    tx = optax.sgd(0.1)
+
+    def run(n):
+        mesh = make_mesh(n)
+        p = shard_params(jax.tree_util.tree_map(jnp.array, params), mesh)
+        b = shard_batch(batch, mesh)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, tx, grad_accum=4)
+        lowered = step.lower(state, b, rng).compile()
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        state, metrics = step(state, b, rng)
+        return (float(ca["flops"]), jax.device_get(state.params),
+                float(metrics["loss"]))
+
+    f1, p1, loss1 = run(1)
+    f8, p8, loss8 = run(8)
+    assert f8 < f1 / 2, (f1, f8)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p8),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -246,10 +246,10 @@ def test_grad_accum_matches_mean_of_chunk_grads(tmp_path):
     new_state, metrics = step(state, batch, rng)
 
     # hand-computed: mean of per-chunk grads with the same rng folding
+    # (chunks are STRIDED, x[i::G] — the GSPMD-clean split, see trainer)
     folded = jax.random.fold_in(rng, state.step)
     def chunk_of(x, i):
-        n = x.shape[0] // G
-        return x[i * n:(i + 1) * n]
+        return x[i::G]
     grads_sum = None
     for i in range(G):
         chunk = jax.tree_util.tree_map(lambda x: chunk_of(x, i), batch)
