@@ -336,6 +336,14 @@ def _sparse_vjp(q, k, v, block, block_stride):
     return _sparse_forward(q, k, v, block, block_stride)
 
 
+def _dispatch_pallas(t: int, train: bool, force, interpret: bool) -> bool:
+    """Pure dispatch rule (unit-tested): Pallas at T>=2048 on the AD path,
+    T>=4096 forward-only; MMVAE_TPU_SPARSE_PALLAS=1/0 overrides both."""
+    threshold = 2048 if train else 4096
+    return (force == "1" or interpret
+            or (force != "0" and t >= threshold))
+
+
 def _sparse_forward_with_lse(q, k, v, block, block_stride, train=False):
     """(out, lse) — lse is None when the dense-bias path ran (small T),
     which also routes the backward through the dense recompute."""
@@ -356,10 +364,8 @@ def _sparse_forward_with_lse(q, k, v, block, block_stride, train=False):
     # T=2048 (65 us vs 98 us), so the no-grad path keeps the 4096 threshold
     # while the AD path (train=True, via _sparse_fwd) switches at 2048.
     # Override with MMVAE_TPU_SPARSE_PALLAS=1/0 (applies to both paths).
-    force = os.environ.get("MMVAE_TPU_SPARSE_PALLAS")
-    threshold = 2048 if train else 4096
-    use_pallas = (force == "1" or _INTERPRET
-                  or (force != "0" and t >= threshold))
+    use_pallas = _dispatch_pallas(
+        t, train, os.environ.get("MMVAE_TPU_SPARSE_PALLAS"), _INTERPRET)
     if not use_pallas:
         telemetry.record("sparse_attention", "jnp",
                          note=f"A/B default: dense bias wins at T={t}")

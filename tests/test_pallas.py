@@ -278,3 +278,22 @@ def test_block_sparse_backward_matches_dense_multi_shape(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        atol=2e-4, rtol=2e-3,
                                        err_msg=f"d{name} t={t} stride={stride}")
+
+
+def test_sparse_dispatch_split_by_grad_mode():
+    """The Pallas threshold is 2048 on the AD path (fwd+bwd A/B winner)
+    but stays 4096 forward-only, where dense still wins at T=2048
+    (advisor round-4 finding)."""
+    from multimodal_vae_comparison_tpu.ops.pallas.sparse_attention import (
+        _dispatch_pallas)
+    # training path
+    assert _dispatch_pallas(2048, True, None, False)
+    assert not _dispatch_pallas(1024, True, None, False)
+    # forward-only path
+    assert not _dispatch_pallas(2048, False, None, False)
+    assert _dispatch_pallas(4096, False, None, False)
+    # env override wins in both directions on both paths
+    assert _dispatch_pallas(128, False, "1", False)
+    assert not _dispatch_pallas(8192, True, "0", False)
+    # interpret mode (CPU tests) always exercises the kernel
+    assert _dispatch_pallas(128, False, None, True)
