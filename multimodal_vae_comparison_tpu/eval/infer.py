@@ -232,24 +232,37 @@ class MultimodalVAEInfer:
                                            seed=seed)
         return self._fitted_cache
 
-    def get_test_samples(self, n: int, split: str = "test"):
-        """Samples + labels from the test split (falls back to val,
-        reference dataloader.py:166-176)."""
+    def get_test_samples(self, n: int, split: str = "test", seed: int = 0):
+        """Samples + labels: a SEEDED RANDOM subset of the split (falls back
+        to val, reference dataloader.py:166-176).
+
+        Round-5 fix: this used to take the FIRST n rows.  The offline
+        generators enumerate the factor cartesian product in spec order
+        (data_proc/cdsprites.py; SPRITES test files concatenate per-action
+        arrays), so a first-n subset is factor-SKEWED — at CdSprites+ L2 the
+        first 250 test captions were 166 'big square' + 84 'big ellipse'
+        (no heart, no 'small'), which froze Text->Image Strict at exactly
+        166/250 across six independently-trained models.  The reference
+        shuffles its dSprites indices at generation (cdSprites.py:132), so
+        its first-n read is already random; a seeded permutation here is the
+        order-independent equivalent."""
         if split == "test" and self.datamod._test is None:
             split = "val"
         data = {"test": self.datamod._test, "val": self.datamod._val,
                 "train": self.datamod._train}[split]
         # cap at the split size: asking for more would pad-wrap the batch
         # (static shapes) and misalign it with the labels
-        n = min(n, len(data[0]["data"]))
-        batch = next(self.datamod.batches(split, batch_size=n,
-                                          drop_remainder=False))
+        total = len(data[0]["data"])
+        n = min(n, total)
+        idx = np.random.default_rng(seed).permutation(total)[:n]
+        batch = self.datamod._make_batch(data, idx)
         labels = {"test": self.datamod.labels_test,
                   "val": self.datamod.labels_val,
                   "train": self.datamod.labels_train}[split]
-        # labels may be a list or a numpy array (MNIST_SVHN) — no bare truth
-        return batch, (labels[:n] if labels is not None and len(labels)
-                       else None)
+        if labels is None or not len(labels):
+            return batch, None
+        labels = np.asarray(labels)
+        return batch, labels[idx]
 
     def get_wrapped_model(self):
         """Compat shim: the reference returns a Lightning wrapper

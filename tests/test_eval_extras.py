@@ -116,3 +116,48 @@ def test_aggregate_from_files_empty_raises(tmp_path):
     (tmp_path / "version_0").mkdir()
     with pytest.raises(FileNotFoundError):
         aggregate_from_files(str(tmp_path))
+
+
+def test_get_test_samples_random_subset_covers_classes(tmp_path):
+    """get_test_samples must draw a seeded RANDOM subset, not the first n:
+    the offline generators write factor-ordered files, so a first-n read is
+    factor-skewed (round-5 finding: CdSprites+ L2 first-250 test captions
+    held only 2 of 6 factor combos, freezing T->I Strict at 166/250 across
+    six independent models)."""
+    import h5py
+    from multimodal_vae_comparison_tpu.config import Config
+    from multimodal_vae_comparison_tpu.eval.infer import MultimodalVAEInfer
+
+    n = 400
+    # ordered labels: first half class 0, second half class 1 — a first-n
+    # read of the val split would see one class only
+    labels = np.repeat([0, 1], n // 2)
+    data = (labels[:, None, None] * np.ones((n, 28, 28)) * 255)
+    np.savez(os.path.join(str(tmp_path), "fashionmnist.npz"),
+             data=data.astype(np.uint8), labels=labels)
+    cfg = Config({
+        "batch_size": 8, "epochs": 1, "exp_name": "sub", "lr": 1e-3,
+        "mixing": "poe", "n_latents": 4, "dataset_name": "fashionmnist",
+        "labels": None, "test_split": 0.5,
+        "modality_1": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "image", "path": str(tmp_path)},
+        "modality_2": {"encoder": "FNN", "decoder": "FNN",
+                       "mod_type": "label", "path": str(tmp_path)},
+    }, results_root=str(tmp_path))
+    from multimodal_vae_comparison_tpu.training.trainer import Trainer
+    t = Trainer(cfg, enable_viz=False)
+    t.init_state()
+
+    class _E:
+        datamod = t.datamodule
+    e = _E()
+    batch, labs = MultimodalVAEInfer.get_test_samples(e, 40, split="val")
+    assert labs is not None and len(set(np.asarray(labs).tolist())) == 2, \
+        "seeded subset must cover both (ordered) classes"
+    # labels stay row-aligned with the gathered data
+    img = np.asarray(batch["mod_1"]["data"]).reshape(len(labs), -1)
+    lab_from_data = (img.max(-1) > 0.5).astype(int)
+    np.testing.assert_array_equal(lab_from_data, np.asarray(labs))
+    # deterministic across calls (protocol stability)
+    _, labs2 = MultimodalVAEInfer.get_test_samples(e, 40, split="val")
+    np.testing.assert_array_equal(np.asarray(labs), np.asarray(labs2))
