@@ -171,7 +171,8 @@ def _assemble(model, batch, grad_accum: int = 1):
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng, "sample": rng}, batch,
                         method=model.objective)
-    tx = optax.amsgrad(1e-4)
+    from multimodal_vae_comparison_tpu.training.optim import make_optimizer
+    tx = make_optimizer("adam", 1e-4)   # flat amsgrad (MVC_FLAT_OPT=0 to A/B)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     raw_step = make_train_step(model, tx, jit=False, grad_accum=grad_accum)
@@ -475,7 +476,8 @@ def bench_scan_epoch(batch_size: int = 24, n_steps: int = 400) -> dict:
         lambda x: x[0] if x is not None else None, epoch_data)
     params = model.init({"params": rng, "sample": rng}, small,
                         method=model.objective)
-    tx = optax.amsgrad(1e-4)
+    from multimodal_vae_comparison_tpu.training.optim import make_optimizer
+    tx = make_optimizer("adam", 1e-4)   # flat amsgrad (MVC_FLAT_OPT=0 to A/B)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     epoch_fn = make_epoch_runner(model, tx, reshuffle=True)

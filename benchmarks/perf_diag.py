@@ -167,7 +167,9 @@ def main():
                     lambda: scan_time(enc_body, jnp.zeros(()), rtt_s))
 
         if "opt" in COMPONENTS:
-            tx = optax.amsgrad(1e-4)
+            from multimodal_vae_comparison_tpu.training.optim import (
+                make_optimizer)
+            tx = make_optimizer("adam", 1e-4)  # MVC_FLAT_OPT gates flattening
             opt_state0 = tx.init(params)
             grads0 = jax.tree_util.tree_map(jnp.ones_like, params)
 
