@@ -172,7 +172,7 @@ def _assemble(model, batch, grad_accum: int = 1):
     params = model.init({"params": rng, "sample": rng}, batch,
                         method=model.objective)
     from multimodal_vae_comparison_tpu.training.optim import make_optimizer
-    tx = make_optimizer("adam", 1e-4)   # flat amsgrad (MVC_FLAT_OPT=0 to A/B)
+    tx = make_optimizer("adam", 1e-4)   # trainer path (per-leaf amsgrad)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     raw_step = make_train_step(model, tx, jit=False, grad_accum=grad_accum)
@@ -477,7 +477,7 @@ def bench_scan_epoch(batch_size: int = 24, n_steps: int = 400) -> dict:
     params = model.init({"params": rng, "sample": rng}, small,
                         method=model.objective)
     from multimodal_vae_comparison_tpu.training.optim import make_optimizer
-    tx = make_optimizer("adam", 1e-4)   # flat amsgrad (MVC_FLAT_OPT=0 to A/B)
+    tx = make_optimizer("adam", 1e-4)   # trainer path (per-leaf amsgrad)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     epoch_fn = make_epoch_runner(model, tx, reshuffle=True)

@@ -169,7 +169,7 @@ def main():
         if "opt" in COMPONENTS:
             from multimodal_vae_comparison_tpu.training.optim import (
                 make_optimizer)
-            tx = make_optimizer("adam", 1e-4)  # MVC_FLAT_OPT gates flattening
+            tx = make_optimizer("adam", 1e-4)  # trainer path (MVC_FLAT_OPT=1 opts into flat)
             opt_state0 = tx.init(params)
             grads0 = jax.tree_util.tree_map(jnp.ones_like, params)
 

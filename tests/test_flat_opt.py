@@ -1,10 +1,10 @@
 """The flat (single-buffer) optimizer path must be bitwise-identical to the
 per-leaf update: amsgrad/adabelief are purely elementwise, so running them
-over the raveled parameter vector reorders nothing (optim.py wraps them in
-``optax.flatten``; ``MVC_FLAT_OPT=0`` restores per-leaf).  Pins the TPU
-fixed-cost optimization (one fused streaming kernel instead of ~69 per-leaf
-fusions on the flagship) against any semantic drift."""
-import importlib
+over the raveled parameter vector reorders nothing.  Round-5 measured the
+flat path ~9% SLOWER at bs24 on the real chip (benchmarks/flat_opt_ab.py —
+optax.flatten's gradient ravel/concat costs more than the per-leaf fusions
+it saves under lax.scan), so per-leaf is the default and ``MVC_FLAT_OPT=1``
+opts in; these tests pin both the equivalence and the gate direction."""
 import os
 
 import jax
@@ -29,15 +29,19 @@ def _tree(seed=0):
     }
 
 
+def _make(name, flat):
+    os.environ["MVC_FLAT_OPT"] = "1" if flat else "0"
+    try:
+        return optim.make_optimizer(name, 1e-3)
+    finally:
+        del os.environ["MVC_FLAT_OPT"]
+
+
 @pytest.mark.parametrize("name", ["adam", "adabelief", "sgd"])
 def test_flat_matches_per_leaf_bitwise(name):
     params = _tree(0)
-    flat_tx = optim.make_optimizer(name, 1e-3)
-    os.environ["MVC_FLAT_OPT"] = "0"
-    try:
-        leaf_tx = optim.make_optimizer(name, 1e-3)
-    finally:
-        del os.environ["MVC_FLAT_OPT"]
+    flat_tx = _make(name, flat=True)
+    leaf_tx = _make(name, flat=False)
 
     p_flat, s_flat = params, flat_tx.init(params)
     p_leaf, s_leaf = params, leaf_tx.init(params)
@@ -52,9 +56,9 @@ def test_flat_matches_per_leaf_bitwise(name):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_flat_state_is_single_buffer():
+def test_flat_optin_state_is_single_buffer():
     params = _tree(0)
-    tx = optim.make_optimizer("adam", 1e-3)
+    tx = _make("adam", flat=True)
     state = tx.init(params)
     arrays = [l for l in jax.tree_util.tree_leaves(state)
               if hasattr(l, "shape") and np.prod(l.shape) > 1]
@@ -63,14 +67,13 @@ def test_flat_state_is_single_buffer():
     assert arrays and all(l.shape == (n,) for l in arrays)
 
 
-def test_env_gate_restores_per_leaf_state():
+def test_default_is_per_leaf():
+    """Default (no env var) must be the per-leaf path — the flat path
+    measured slower on the real chip (flat_opt_ab.json)."""
     params = _tree(0)
-    os.environ["MVC_FLAT_OPT"] = "0"
-    try:
-        tx = optim.make_optimizer("adam", 1e-3)
-        state = tx.init(params)
-    finally:
-        del os.environ["MVC_FLAT_OPT"]
+    os.environ.pop("MVC_FLAT_OPT", None)
+    tx = optim.make_optimizer("adam", 1e-3)
+    state = tx.init(params)
     shapes = {l.shape for l in jax.tree_util.tree_leaves(state)
               if hasattr(l, "shape")}
     assert (17, 33) in shapes  # per-leaf state mirrors the param tree
